@@ -1,0 +1,87 @@
+"""Frozen crawl semantics shared by the engine and the reference simulator.
+
+Every constant here is cited to the reference behavior it models; both the
+DataFrame engine (tor_spider_spark/plans/) and the pure-Python simulator
+(tor_spider_spark/simulator.py) import THIS module, so the two
+implementations cannot drift on pattern strings or defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Onion-URL admission (reference spider/spider.go:116-121: four URLFilters —
+# http/https × v2 {16}/v3 {56} base32 labels). One combined regex; Java
+# (Spark rlike) and Python `re` agree on this subset of syntax.
+ONION_URL_PATTERN = (
+    r"^https?://[a-zA-Z2-7]{16}\.onion([/?#].*)?$"
+    r"|^https?://[a-zA-Z2-7]{56}\.onion([/?#].*)?$"
+)
+
+# Reference .env defaults (reference .env:13-19).
+DEFAULT_HOST_BUDGET = 8  # SPIDER_PARALLELISM=8 re-imagined per-host (north rule)
+DEFAULT_MAX_DEPTH = 9  # SPIDER_DEPTH=3 layers/job × every-3rd-layer frontier (SURVEY §3.4)
+DEFAULT_ROUND_LIMIT = 2048  # MINIMUM_JOBS=64 batch × 32 workers, scaled to batch rounds
+DEFAULT_N_BUCKETS = 16  # bucket(B, host_hash) partitioning; B=4096 at 10^10-URL scale
+
+# Child priority: deterministic, depth-decaying (reference has no priority
+# column — SURVEY §1.1; the north rule adds a priority queue, so the rule
+# must be a pure function of columns for determinism, SURVEY §2.8).
+def priority_for_depth(depth: int) -> float:
+    return 1.0 / (1.0 + depth)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Knobs for one crawl run. Defaults mirror the reference envelope."""
+
+    max_depth: int = DEFAULT_MAX_DEPTH
+    default_host_budget: int = DEFAULT_HOST_BUDGET
+    round_limit: int = DEFAULT_ROUND_LIMIT
+    n_buckets: int = DEFAULT_N_BUCKETS
+    max_rounds: int = 10
+    # bloom shard sizing (SURVEY §4.4): bits/key ≈ 10 → fpp ≈ 1%
+    bloom_bits_per_key: int = 10
+    bloom_num_hashes: int = 7
+    blacklist: tuple[str, ...] = field(default_factory=tuple)
+
+
+# ---------------------------------------------------------------------------
+# Frozen round semantics (documentation of record — SURVEY §2.8 determinism
+# note). Implemented twice, tested for equality:
+#
+#  1. candidates = frontier, collapsed per url to (min depth → max priority,
+#     min discovered_round).
+#  2. politeness: host eligible iff round - last_fetch_round(host) >
+#     crawl_delay_rounds(host) (delay_rounds = crawl_delay_ms // 1000;
+#     unfetched hosts always eligible). Budget(host) = robots.max_per_round
+#     or default_host_budget. Within host, rank by TOTAL ORDER
+#     (priority DESC, discovered_round ASC, url ASC); keep rank <= budget.
+#     Then global TOTAL ORDER, keep first round_limit → `scheduled`
+#     (rank recorded = 1-based position in the global order).
+#  3. claim: remove every frontier row whose url is scheduled (anti-join;
+#     reference DeleteMany $in, mongojobsstorage.go:165-180).
+#  4. admission, in the reference's filter order (spider/spider.go:103-153):
+#     blacklist regex (search) → onion URL filter (seeds exempt;
+#     spider.go:167 seed collector has no URL filter) → robots disallow
+#     prefix (north-rule inversion of spider.go:112) → seen (url_hash in
+#     seen) with seeds exempt (AllowURLRevisit).
+#  5. mark seen: every ADMITTED url (dedup-on-attempt — colly marks visited
+#     at request time, before the fetch completes; failed fetches stay
+#     seen). Filtered-out rows are NOT marked.
+#  6. fetch = equi-join corpus on url. Missing url or status != 200 →
+#     OnError (dropped: no page, no links; spider.go:337-339). Every
+#     admitted row updates last_fetch_round(host) = round.
+#  7. pages append for status == 200.
+#  8. expand: explode out_links of fetched-200 → canonicalize(base, href)
+#     (urljoin, strip fragment; empty/non-http dropped) → keep onion urls
+#     only (SaveJob gate, spider.go:300-301) → depth = parent+1, drop if
+#     > max_depth → priority = priority_for_depth(depth).
+#  9. intra-round distinct by url (min depth wins).
+# 10. frontier admission: discovered anti-join seen → append. (Duplicates
+#     vs remaining frontier are tolerated, as the reference tolerates dup
+#     Mongo jobs — collapsed at step 1.)
+# 11. periodic seeds: seed rows with recrawl_every k > 0 are re-appended
+#     every round r where r % k == 0, r > 0 (spider.go:472-490).
+# 12. commit round atomically; stop when frontier empty or max_rounds.
+# ---------------------------------------------------------------------------

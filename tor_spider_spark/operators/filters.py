@@ -1,0 +1,55 @@
+"""Admission filters (SURVEY §2.2 F1-F9), applied in the reference's
+request-pipeline order: blacklist → onion URL filter → robots → seen.
+
+colly checks DisallowedURLFilters before URLFilters before the visited
+set (reference spider/spider.go:103-153); robots is the north-rule
+inversion of ``IgnoreRobotsTxt()`` (spider/spider.go:112, 166). Seeds are
+exempt from the URL filter and the visited check (the seed collector has
+no filters and ``AllowURLRevisit``, spider/spider.go:162-167).
+
+All predicates are native Catalyst expressions (whole-stage codegen); the
+seen check is a left_anti join on url_hash, optionally short-circuited by
+the persistent bloom shards (operators/bloom.py) — bloom positives still
+go through the exact anti-join, so false positives never drop a URL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import blacklist_pred, onion_url_col, path_col
+
+
+def admit(
+    scheduled: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    blacklist_patterns: list[str],
+    bloom_probe=None,
+) -> DataFrame:
+    """Frozen step 4: scheduled → admitted."""
+    s = scheduled.where(~blacklist_pred(F.col("url"), blacklist_patterns))
+    s = s.where(F.col("is_seed") | onion_url_col(F.col("url")))
+    s = (
+        s.join(F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")
+        .where(
+            F.col("disallow_prefixes").isNull()
+            | ~F.exists(
+                "disallow_prefixes",
+                lambda p: path_col(F.col("url")).startswith(p),
+            )
+        )
+        .drop("disallow_prefixes")
+    )
+    seeds = s.where(F.col("is_seed"))
+    nonseeds = s.where(~F.col("is_seed"))
+    if bloom_probe is not None:
+        # bloom short-circuit: definite-negatives skip the exact anti-join
+        nonseeds = bloom_probe(nonseeds)
+        maybe = nonseeds.where(F.col("_bloom_maybe")).drop("_bloom_maybe")
+        fresh = nonseeds.where(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+        deduped = maybe.join(seen.select("url_hash"), "url_hash", "left_anti").unionByName(fresh)
+    else:
+        deduped = nonseeds.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return seeds.unionByName(deduped)

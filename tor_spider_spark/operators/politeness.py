@@ -1,0 +1,106 @@
+"""Deterministic per-host politeness scheduler (SURVEY §2.5 W1-W3).
+
+Re-imagines the reference's global concurrency caps — 32 workers
+(spider/spider.go:82), ``colly.LimitRule{DomainGlob:"*", Parallelism:8}``
+(spider/spider.go:148-151) and the random ``$sample`` batch pop of 64
+(spider/mongojobsstorage.go:241-246) — as the north rule's *per-host
+priority queue*: a window rank partitioned by host, ordered by the frozen
+total order (priority DESC, discovered_round ASC, url ASC), capped by the
+host budget (robots ``max_per_round`` else 8), then a global top-k.
+
+Determinism (SURVEY §2.8): every tiebreak is a pure function of columns;
+the Mongo ``$sample`` randomness is deliberately replaced (the reference's
+*set* semantics are preserved; ordering is judged against the frozen
+deterministic projection).
+
+Scale notes: the host window shuffles by ``host`` — the same key the
+frontier table is bucketed on, so with storage-partitioned reads this is
+exchange-free; the global top-k compiles to ``TakeOrderedAndProject``
+(no total sort); the final row_number runs on ≤ round_limit rows (bounded,
+driver-side-small by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+def total_order():
+    """The frozen W3 total order — every scheduling tiebreak uses this."""
+    return [F.col("priority").desc(), F.col("discovered_round").asc(), F.col("url").asc()]
+
+
+def collapse_candidates(frontier: DataFrame) -> DataFrame:
+    """Step 1 of the frozen round semantics: collapse duplicate frontier
+    rows per url — min (depth, discovered_round) wins, is_seed is OR'd.
+    (The reference tolerates duplicate Mongo jobs and dedups at visit
+    time, spider/spider.go:301; collapsing at claim is equivalent.)"""
+    return (
+        frontier.groupBy("url", "url_hash", "host", "host_hash")
+        .agg(
+            F.min(F.struct("depth", "discovered_round")).alias("_dd"),
+            F.max("is_seed").alias("is_seed"),
+        )
+        .select(
+            "url",
+            "url_hash",
+            "host",
+            "host_hash",
+            F.col("_dd.depth").alias("depth"),
+            (F.lit(1.0) / (1.0 + F.col("_dd.depth"))).alias("priority"),
+            F.col("_dd.discovered_round").alias("discovered_round"),
+            "is_seed",
+        )
+    )
+
+
+def schedule_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_state: DataFrame,
+    round_no: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Steps 2 of the frozen semantics → `scheduled` with a global rank.
+
+    robots is broadcast (small dim, SURVEY §2.3 J4); host_state joins on
+    host (bucketed key at scale).
+    """
+    c = (
+        candidates.join(
+            F.broadcast(robots.select("host", "crawl_delay_ms", "max_per_round")),
+            "host",
+            "left",
+        )
+        .join(host_state.select("host", "last_fetch_round"), "host", "left")
+        .withColumn("_delay_rounds", F.coalesce(F.floor(F.col("crawl_delay_ms") / 1000), F.lit(0)))
+        .withColumn("_budget", F.coalesce("max_per_round", F.lit(cfg.default_host_budget)))
+    )
+    eligible = c.where(
+        ~(
+            F.col("last_fetch_round").isNotNull()
+            & (F.col("_delay_rounds") > 0)
+            & (F.lit(round_no) - F.col("last_fetch_round") <= F.col("_delay_rounds"))
+        )
+    )
+    host_w = Window.partitionBy("host").orderBy(*total_order())
+    budgeted = eligible.withColumn("_hr", F.row_number().over(host_w)).where(
+        F.col("_hr") <= F.col("_budget")
+    )
+    topk = budgeted.orderBy(*total_order()).limit(cfg.round_limit)
+    # global rank over ≤ round_limit rows — bounded single-partition window
+    rank_w = Window.orderBy(*total_order())
+    return topk.withColumn("rank", F.row_number().over(rank_w)).select(
+        F.lit(round_no).alias("round"),
+        "rank",
+        "url",
+        "url_hash",
+        "host",
+        "host_hash",
+        "depth",
+        "priority",
+        "discovered_round",
+        "is_seed",
+    )

@@ -1,0 +1,155 @@
+"""One crawl round as a pure DataFrame program (SURVEY §3.2 Spark mirror).
+
+    frontier ─(collapse + politeness rank)→ scheduled     [claim: anti-join]
+    scheduled ─(blacklist/onion/robots/seen)→ admitted
+    admitted ─(equi-join corpus slim, AQE skew)→ fetched  [status==200]
+    fetched  ─(explode out_links → canonicalize UDF → onion gate)→ discovered
+    discovered ─(anti-join seen')→ new frontier rows
+    admitted ───────────────────────────────→ seen append
+    fetched  ─(payload join corpus)─────────→ pages append
+
+Column-pruning discipline (SURVEY §4.4): the expansion path joins a SLIM
+corpus projection (url, status, out_links) so the image payload is never
+read for frontier math; the payload columns are joined separately, only
+for fetched-200 rows, straight into the pages append.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.urls import canonicalize_urls, onion_url_col, with_url_identity
+from ..operators.filters import admit
+from ..operators.politeness import collapse_candidates, schedule_round
+
+
+@dataclass
+class RoundResult:
+    scheduled: DataFrame
+    admitted: DataFrame
+    new_seen: DataFrame
+    pages: DataFrame
+    frontier_next: DataFrame
+    host_state_next: DataFrame
+    n_scheduled: int
+    n_admitted: int
+    n_pages: int
+    n_discovered: int
+
+
+def run_round(
+    round_no: int,
+    frontier: DataFrame,
+    seen: DataFrame,
+    host_state: DataFrame,
+    robots: DataFrame,
+    corpus_slim: DataFrame,
+    corpus_payload: DataFrame,
+    blacklist_patterns: list[str],
+    cfg: CrawlConfig,
+    bloom_probe=None,
+) -> RoundResult:
+    candidates = collapse_candidates(frontier)
+    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg).localCheckpoint()
+    n_scheduled = scheduled.count()
+
+    # claim (frozen step 3; reference DeleteMany $in, mongojobsstorage.go:165-180)
+    frontier_remainder = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
+
+    admitted = admit(scheduled, robots, seen, blacklist_patterns, bloom_probe).localCheckpoint()
+    n_admitted = admitted.count()
+
+    # mark seen on attempt (frozen step 5); seeds may already be present
+    new_seen = (
+        admitted.select("url_hash", "host_hash")
+        .join(seen.select("url_hash"), "url_hash", "left_anti")
+        .withColumn("first_round", F.lit(round_no))
+    )
+    seen_next = seen.unionByName(new_seen)
+
+    # fetch = equi-join synthetic web (S9/J3); AQE splits hub-host skew
+    fetch = admitted.join(
+        corpus_slim.withColumnRenamed("status", "_status").withColumnRenamed(
+            "out_links", "_out_links"
+        ),
+        "url",
+        "left",
+    )
+    fetched = fetch.where(F.col("_status") == 200).localCheckpoint()
+
+    # pages: payload join only for fetched rows (column pruning discipline)
+    pages = (
+        fetched.select("url", "url_hash", "host", "host_hash", "depth")
+        .join(corpus_payload, "url", "inner")
+        .select(
+            "url",
+            "url_hash",
+            "host",
+            "host_hash",
+            F.col("status").cast("int").alias("status"),
+            F.lit(round_no).alias("round"),
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+        )
+    )
+    n_pages = fetched.count()
+
+    # expand (frozen step 8): explode → canonicalize (Arrow UDF) → onion gate
+    expandable = fetched.where(F.col("depth") + 1 <= cfg.max_depth)
+    discovered = (
+        expandable.select(
+            F.col("url").alias("_base"),
+            F.col("depth").alias("_pdepth"),
+            F.explode("_out_links").alias("_href"),
+        )
+        .withColumn("url", canonicalize_urls(F.col("_base"), F.col("_href")))
+        .where(F.col("url").isNotNull() & onion_url_col(F.col("url")))
+        .groupBy("url")
+        .agg((F.min("_pdepth") + 1).alias("depth"))  # frozen step 9: min depth wins
+        .select(
+            "url",
+            F.col("depth").cast("int").alias("depth"),
+            (F.lit(1.0) / (1.0 + F.col("depth"))).alias("priority"),
+            F.lit(round_no + 1).alias("discovered_round"),
+            F.lit(False).alias("is_seed"),
+        )
+    )
+    discovered = with_url_identity(discovered)
+    new_frontier_rows = discovered.join(
+        seen_next.select("url_hash"), "url_hash", "left_anti"
+    ).localCheckpoint()
+    n_discovered = new_frontier_rows.count()
+
+    frontier_next = frontier_remainder.select(*[f.name for f in frontier.schema.fields]).unionByName(
+        new_frontier_rows.select(*[f.name for f in frontier.schema.fields])
+    )
+
+    # host_state merge: attempted hosts get last_fetch_round = round_no
+    touched = (
+        admitted.select("host", "host_hash").distinct().withColumn("last_fetch_round", F.lit(round_no))
+    )
+    host_state_next = host_state.join(touched.select("host"), "host", "left_anti").unionByName(
+        touched
+    )
+
+    return RoundResult(
+        scheduled=scheduled,
+        admitted=admitted,
+        new_seen=new_seen,
+        pages=pages,
+        frontier_next=frontier_next,
+        host_state_next=host_state_next,
+        n_scheduled=n_scheduled,
+        n_admitted=n_admitted,
+        n_pages=n_pages,
+        n_discovered=n_discovered,
+    )

@@ -1,0 +1,226 @@
+"""Round-loop driver: orchestrates crawl rounds over snapshot tables with
+atomic per-round checkpoints and deterministic resume (SURVEY §3.2/§3.5).
+
+The reference's main loop — 1 s refill ticker, batch pop, worker pool,
+graceful stop with flush-back (spider/mongojobsstorage.go:79-111,
+spider/spider.go:371-392) — maps to: one batch job per round; the round's
+table versions commit atomically via the checkpoint file, so a kill at any
+point resumes from the last committed round with identical results
+(north rule; proven by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..config import CrawlConfig
+from ..fixtures.corpus import Fixture
+from ..functions.urls import with_url_identity
+from ..operators.bloom import BloomShards
+from ..sources.tables import CheckpointLog, SnapshotTable
+from .crawl_round import run_round
+
+_TABLES = {
+    "frontier": schemas.FRONTIER,
+    "seen": schemas.SEEN,
+    "pages": schemas.PAGES,
+    "schedule": schemas.SCHEDULE,
+    "host_state": schemas.HOST_STATE,
+    "bloom_shards": schemas.BLOOM_SHARDS,
+    "metrics": schemas.METRICS,
+}
+
+
+def fixture_to_dfs(spark: SparkSession, fx: Fixture) -> dict[str, DataFrame]:
+    corpus = spark.createDataFrame(
+        [tuple(r[f.name] for f in schemas.CORPUS.fields) for r in fx.corpus], schemas.CORPUS
+    )
+    seeds = spark.createDataFrame(
+        [(s["url"], bool(s["is_seed"]), int(s["recrawl_every"])) for s in fx.seeds], schemas.SEEDS
+    )
+    robots = spark.createDataFrame(
+        [
+            (r["host"], r["disallow_prefixes"], int(r["crawl_delay_ms"]), r["max_per_round"])
+            for r in fx.robots
+        ],
+        schemas.ROBOTS,
+    )
+    return {"corpus": corpus, "seeds": seeds, "robots": robots}
+
+
+def write_fixture(spark: SparkSession, fx: Fixture, path: str) -> None:
+    dfs = fixture_to_dfs(spark, fx)
+    dfs["corpus"].repartition(8).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    dfs["seeds"].coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
+    dfs["robots"].coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "robots"))
+    with open(os.path.join(path, "blacklist.txt"), "w") as fh:
+        fh.write("\n".join(fx.blacklist))
+
+
+@dataclass
+class CrawlSummary:
+    rounds_run: int = 0
+    n_scheduled: int = 0
+    n_admitted: int = 0
+    n_pages: int = 0
+    round_stats: list[dict] = field(default_factory=list)
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        corpus: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame,
+        blacklist_patterns: list[str],
+        cfg: CrawlConfig | None = None,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.run_dir = run_dir
+        self.tables = {n: SnapshotTable(run_dir, n, s) for n, s in _TABLES.items()}
+        self.log = CheckpointLog(run_dir)
+        # slim/payload split: frontier math never reads image bytes (§4.4)
+        self.corpus_slim = corpus.select("url", "status", "out_links")
+        self.corpus_payload = corpus.select(
+            "url", "status", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        self.seeds = seeds
+        self.robots = robots
+        self.blacklist = blacklist_patterns
+        self.bloom = (
+            BloomShards(self.cfg.n_buckets, m_bits=1 << 20, k=self.cfg.bloom_num_hashes)
+            if use_bloom
+            else None
+        )
+
+    def _seed_frontier(self, round_no: int, periodic_only: bool) -> DataFrame:
+        s = self.seeds
+        if periodic_only:
+            s = s.where((F.col("recrawl_every") > 0) & (F.lit(round_no) % F.col("recrawl_every") == 0))
+        return with_url_identity(s.select("url")).select(
+            "url",
+            "url_hash",
+            "host",
+            "host_hash",
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("priority"),
+            F.lit(round_no).alias("discovered_round"),
+            F.lit(True).alias("is_seed"),
+        )
+
+    def run(self, max_rounds: int | None = None, resume: bool = True) -> CrawlSummary:
+        cfg = self.cfg
+        max_rounds = max_rounds if max_rounds is not None else cfg.max_rounds
+        spark = self.spark
+        t = self.tables
+
+        last = self.log.last() if resume else None
+        if last:
+            versions = last["versions"]
+            start = last["round"] + 1
+            frontier = t["frontier"].read(spark, versions["frontier"])
+            seen = t["seen"].read(spark, versions["seen"])
+            host_state = t["host_state"].read(spark, versions["host_state"])
+            blooms = t["bloom_shards"].read(spark, versions["bloom_shards"])
+        else:
+            start = 0
+            frontier = self._seed_frontier(0, periodic_only=False)
+            seen = t["seen"].read(spark, 0)
+            host_state = t["host_state"].read(spark, 0)
+            blooms = t["bloom_shards"].read(spark, 0)
+
+        summary = CrawlSummary()
+        for rnd in range(start, max_rounds):
+            if frontier.isEmpty():
+                break
+            probe = self.bloom.probe(blooms) if self.bloom else None
+            res = run_round(
+                rnd,
+                frontier,
+                seen,
+                host_state,
+                self.robots,
+                self.corpus_slim,
+                self.corpus_payload,
+                self.blacklist,
+                cfg,
+                bloom_probe=probe,
+            )
+            frontier_next = res.frontier_next.unionByName(
+                self._seed_frontier(rnd + 1, periodic_only=True)
+            )
+
+            versions = {
+                "frontier": t["frontier"].overwrite(frontier_next, cfg.n_buckets),
+                "seen": t["seen"].append(res.new_seen, cfg.n_buckets),
+                "pages": t["pages"].append(res.pages, cfg.n_buckets),
+                "schedule": t["schedule"].append(scheduled_projection(res.scheduled)),
+            }
+            host_state_next = res.host_state_next.localCheckpoint()
+            versions["host_state"] = t["host_state"].overwrite(host_state_next)
+            if self.bloom:
+                blooms_next = self.bloom.update(blooms, res.new_seen, rnd).localCheckpoint()
+                versions["bloom_shards"] = t["bloom_shards"].overwrite(blooms_next)
+                blooms = blooms_next
+            else:
+                versions["bloom_shards"] = t["bloom_shards"].latest_version()
+            # per-partition lineage metrics (north rule)
+            metrics = res.scheduled.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(F.count("*").alias("value")).select(
+                F.lit(rnd).alias("round"),
+                "partition_id",
+                F.lit("n_scheduled_partition").alias("metric"),
+                "value",
+            )
+            globals_df = spark.createDataFrame(
+                [
+                    (rnd, -1, "n_scheduled", res.n_scheduled),
+                    (rnd, -1, "n_admitted", res.n_admitted),
+                    (rnd, -1, "n_pages", res.n_pages),
+                    (rnd, -1, "n_discovered", res.n_discovered),
+                ],
+                schemas.METRICS,
+            )
+            versions["metrics"] = t["metrics"].append(metrics.unionByName(globals_df))
+            # the checkpoint write IS the round's atomic commit point
+            self.log.commit(rnd, versions)
+
+            # roll state from the committed snapshots (lineage truncation)
+            frontier = t["frontier"].read(spark, versions["frontier"])
+            seen = t["seen"].read(spark, versions["seen"])
+            host_state = t["host_state"].read(spark, versions["host_state"])
+
+            summary.rounds_run += 1
+            summary.n_scheduled += res.n_scheduled
+            summary.n_admitted += res.n_admitted
+            summary.n_pages += res.n_pages
+            summary.round_stats.append(
+                {
+                    "round": rnd,
+                    "scheduled": res.n_scheduled,
+                    "admitted": res.n_admitted,
+                    "pages": res.n_pages,
+                    "discovered": res.n_discovered,
+                }
+            )
+        return summary
+
+    # committed-state readers -------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        last = self.log.last()
+        v = last["versions"][name] if last else None
+        return self.tables[name].read(self.spark, v)
+
+
+def scheduled_projection(scheduled: DataFrame) -> DataFrame:
+    return scheduled.select("round", "rank", "url", "url_hash", "host", "depth", "priority")
