@@ -1,0 +1,61 @@
+"""Bloom shard properties: NO false negatives ever (correctness), sane
+false-positive rate (efficiency), incremental update across rounds."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tor_spider_spark.functions.hashing import xxh64
+from tor_spider_spark.operators.bloom import BloomShards, _positions, _set_bits, _test_bits
+from tor_spider_spark.schemas import BLOOM_SHARDS, SEEN
+
+
+def test_bitset_no_false_negatives_numpy():
+    m, k = 1 << 16, 7
+    bits = np.zeros(m // 8, np.uint8)
+    inserted = np.array([xxh64(f"u{i}") for i in range(2000)], np.int64)
+    _set_bits(bits, _positions(inserted, k, m))
+    assert _test_bits(bits, _positions(inserted, k, m)).all()
+
+
+def test_bitset_fpp_reasonable():
+    m, k = 1 << 20, 7
+    bits = np.zeros(m // 8, np.uint8)
+    inserted = np.array([xxh64(f"u{i}") for i in range(50_000)], np.int64)
+    _set_bits(bits, _positions(inserted, k, m))
+    probes = np.array([xxh64(f"absent{i}") for i in range(20_000)], np.int64)
+    fpp = _test_bits(bits, _positions(probes, k, m)).mean()
+    assert fpp < 0.05, fpp  # theory ~1.8% at this load
+
+
+def test_spark_update_and_probe(spark):
+    bs = BloomShards(n_shards=4, m_bits=1 << 16, k=7)
+    items = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 5}"), 0) for i in range(500)], SEEN
+    )
+    empty = spark.createDataFrame([], BLOOM_SHARDS)
+    shards1 = bs.update(empty, items, 0).localCheckpoint()
+    assert shards1.count() == items.select(
+        (items.host_hash % 4).alias("s")
+    ).distinct().count() or shards1.count() <= 4
+
+    # second incremental round
+    items2 = spark.createDataFrame(
+        [(xxh64(f"v{i}"), xxh64(f"h{i % 5}"), 1) for i in range(300)], SEEN
+    )
+    shards2 = bs.update(shards1, items2, 1).localCheckpoint()
+
+    cand = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 5}")) for i in range(500)]
+        + [(xxh64(f"v{i}"), xxh64(f"h{i % 5}")) for i in range(300)]
+        + [(xxh64(f"none{i}"), xxh64(f"h{i % 5}")) for i in range(300)],
+        "url_hash long, host_hash long",
+    )
+    probed = bs.probe(shards2)(cand).collect()
+    by_hash = {r["url_hash"]: r["_bloom_maybe"] for r in probed}
+    for i in range(500):
+        assert by_hash[xxh64(f"u{i}")], "false negative (round-0 item)"
+    for i in range(300):
+        assert by_hash[xxh64(f"v{i}")], "false negative (round-1 item)"
+    fp = sum(by_hash[xxh64(f"none{i}")] for i in range(300))
+    assert fp < 30

@@ -1,0 +1,62 @@
+"""Engine ≡ simulator: the north-rule correctness judge ("matching the
+reference's crawl ordering and final URL-seen set under the same seed list
+and politeness budget"), via the deterministic projection of SURVEY §2.8."""
+
+from __future__ import annotations
+
+import pytest
+
+from tor_spider_spark.plans.driver import CrawlDriver
+
+
+def _run(spark, tmp, smoke_dfs, smoke_fixture, smoke_cfg, use_bloom: bool):
+    drv = CrawlDriver(
+        spark,
+        str(tmp),
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+        use_bloom=use_bloom,
+    )
+    drv.run()
+    return drv
+
+
+@pytest.mark.parametrize("use_bloom", [True, False], ids=["bloom", "exact-only"])
+def test_engine_matches_simulator(
+    spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, smoke_sim, use_bloom
+):
+    drv = _run(spark, tmp_path / f"run-{use_bloom}", smoke_dfs, smoke_fixture, smoke_cfg, use_bloom)
+
+    # crawl ordering: per-round ranked schedule equality
+    sched: dict[int, list[str]] = {}
+    for r in drv.read("schedule").orderBy("round", "rank").collect():
+        sched.setdefault(r["round"], []).append(r["url"])
+    assert len(sched) == len(smoke_sim.schedule)
+    for i, golden in enumerate(smoke_sim.schedule):
+        assert sched[i] == golden, f"round {i}"
+
+    # URL-seen set with first-seen round
+    seen_eng = {r["url_hash"]: r["first_round"] for r in drv.read("seen").collect()}
+    assert seen_eng == smoke_sim.seen_hashes()
+
+    # pages row-set equality (payload bytes checked in test_payload_invariants)
+    eng = sorted(
+        (r["url"], r["round"], r["image_id"], r["caption"], r["phash"])
+        for r in drv.read("pages").select("url", "round", "image_id", "caption", "phash").collect()
+    )
+    gold = sorted(
+        (p["url"], p["round"], p["image_id"], p["caption"], p["phash"]) for p in smoke_sim.pages
+    )
+    assert eng == gold
+
+
+def test_metrics_and_lineage_written(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    drv = _run(spark, tmp_path / "m", smoke_dfs, smoke_fixture, smoke_cfg, use_bloom=True)
+    m = drv.read("metrics")
+    names = {r["metric"] for r in m.select("metric").distinct().collect()}
+    assert {"n_scheduled", "n_admitted", "n_pages", "n_scheduled_partition"} <= names
+    rounds = m.select("round").distinct().count()
+    assert rounds == 6

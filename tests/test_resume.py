@@ -1,0 +1,52 @@
+"""Deterministic checkpoint/resume (north rule; SURVEY §5.2.5): kill after
+round j, resume with a FRESH driver, final tables byte-identical to the
+uninterrupted run."""
+
+from __future__ import annotations
+
+from tor_spider_spark.plans.driver import CrawlDriver
+
+_TABLES = {
+    "seen": ["url_hash", "first_round"],
+    "schedule": ["round", "rank", "url"],
+    "pages": ["url", "round", "image_id", "caption", "phash"],
+}
+
+
+def test_resume_reproduces_full_run(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    args = (
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+    )
+    full = CrawlDriver(spark, str(tmp_path / "full"), *args)
+    full.run(max_rounds=6)
+
+    part = CrawlDriver(spark, str(tmp_path / "part"), *args)
+    part.run(max_rounds=3)  # "killed" here — driver state discarded
+    resumed = CrawlDriver(spark, str(tmp_path / "part"), *args)  # fresh process analog
+    resumed.run(max_rounds=6, resume=True)
+
+    for tbl, cols in _TABLES.items():
+        a = sorted(map(tuple, full.read(tbl).select(*cols).collect()))
+        b = sorted(map(tuple, resumed.read(tbl).select(*cols).collect()))
+        assert a == b, tbl
+
+
+def test_rerun_is_idempotent_noop(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    args = (
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+    )
+    drv = CrawlDriver(spark, str(tmp_path / "r"), *args)
+    drv.run(max_rounds=4)
+    before = sorted(map(tuple, drv.read("seen").collect()))
+    again = CrawlDriver(spark, str(tmp_path / "r"), *args)
+    again.run(max_rounds=4, resume=True)  # already at round 4 → no new work
+    after = sorted(map(tuple, again.read("seen").collect()))
+    assert before == after
