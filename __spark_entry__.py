@@ -1,38 +1,468 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl (3 rounds over a deterministic synthetic
+onion web whose captions are drawn from sf0.001 documents — no external
+data) and returns the pages table.  ``queries``/``oracle_sql`` expose the
+engine's operator surface (SURVEY.md §2 + the training-data pipeline ops)
+over the driver's parquet fixtures, each with a DuckDB-runnable ANSI-SQL
+oracle where SQL can express it.
+
+Float discipline: every float aggregate is rounded identically on both
+sides (sums→2dp, avgs/ratios→4-6dp) so value-hashes cannot diverge on
+summation order.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: the crawl itself
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """3 crawl rounds on the smoke-scale synthetic onion web; captions are
+    sourced from /root/testdata/sf0.001 documents (driver contract: load
+    sf0.001 parquet). Returns the committed pages table (payload bytes
+    dropped for a compact, stable schema)."""
+    from tor_spider_spark.config import CrawlConfig
+    from tor_spider_spark.fixtures.corpus import SMOKE, generate_fixture
+    from tor_spider_spark.plans.driver import CrawlDriver, fixture_to_dfs
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    words = [
+        r[0]
+        for r in docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .orderBy("w")
+        .limit(64)
+        .collect()
+    ]
+    fx = generate_fixture(SMOKE, caption_words=words)
+    dfs = fixture_to_dfs(spark, fx)
+    run_dir = tempfile.mkdtemp(prefix="tor-spider-entry-")
+    drv = CrawlDriver(
+        spark,
+        run_dir,
+        dfs["corpus"],
+        dfs["seeds"],
+        dfs["robots"],
+        fx.blacklist,
+        CrawlConfig(max_rounds=3),
+    )
+    drv.run()
+    return drv.read("pages").select(
+        "url", "url_hash", "host", "status", "round", "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator queries (SURVEY §2 ids in comments) + training-data pipeline ops
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tor_spider_spark.functions.text import (
+        lang_id_col,
+        n_tokens_col,
+        punct_ratio_col,
+        quality_ok_col,
+        stopword_ratio_col,
+        winnow_fingerprints,
+    )
+    from tor_spider_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+    from tor_spider_spark.operators.similarity import cosine_col, cosine_topk, lsh_ann_topk
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q1_pricing_summary(spark, sf):  # A5/W-agg flagship relational
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "sum_disc_price"
+                ),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def topk_global(spark, sf):  # W2: global top-k without total sort
+        return (
+            _t(spark, sf, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+            .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        )
+
+    def window_rank_topk(spark, sf):  # W1: per-key politeness-rank shape
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            _t(spark, sf, "orders")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk"))
+        )
+
+    def anti_join(spark, sf):  # J1/J2: seen/claim anti-join shape
+        o = _t(spark, sf, "orders")
+        return (
+            _t(spark, sf, "customer")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name")
+        )
+
+    def semi_join(spark, sf):  # bloom-verified membership shape
+        o = _t(spark, sf, "orders")
+        return (
+            _t(spark, sf, "customer")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey")
+        )
+
+    def broadcast_join(spark, sf):  # J4: robots-style broadcast dim join
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+        )
+
+    def skew_join(spark, sf):  # J3: fetch equi-join shape (AQE skew handled)
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+            )
+        )
+
+    def union_distinct(spark, sf):  # U1+U2: enqueue union + intra-round dedup
+        a = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("key"))
+        b = _t(spark, sf, "part").select(F.col("p_partkey").alias("key"))
+        return a.unionByName(b).distinct()
+
+    def groupby_count(spark, sf):  # A5: per-host group count shape
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_suppkey")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.min("l_orderkey").alias("min_orderkey"),
+            )
+        )
+
+    def distinct_count(spark, sf):  # A1/A6 exact cardinality
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"))
+        )
+
+    def filter_rlike(spark, sf):  # F1/F2: regex admission filters
+        return (
+            _t(spark, sf, "documents")
+            .where(F.col("text").rlike("spark.*join|join.*spark"))
+            .select("doc_id", "lang")
+        )
+
+    def explode_array(spark, sf):  # C2: out_links explode shape
+        return (
+            _t(spark, sf, "embeddings")
+            .select("label", F.explode("embedding").alias("v"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_values"), F.round(F.avg("v"), 4).alias("avg_v"))
+        )
+
+    def json_extract(spark, sf):  # scalar parse (C9 analog)
+        return (
+            _t(spark, sf, "events")
+            .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        )
+
+    def tumbling_window(spark, sf):  # event-time windowed agg (streaming analog)
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+
+    def hash64(spark, sf):  # C5: url_hash (no SQL oracle — Spark-specific hash)
+        return _t(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
+
+    def approx_distinct(spark, sf):  # A6 (no oracle: approximate by design)
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        )
+
+    # ---- training-data pipeline ops --------------------------------------
+    def dedup_exact(spark, sf):
+        return exact_dedup_groups(_t(spark, sf, "documents").select("doc_id", "text"))
+
+    def dedup_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 0.8)
+
+    def dedup_minhash_lsh(spark, sf):
+        return minhash_lsh_dedup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 0.8)
+
+    def dedup_simhash(spark, sf):  # no SQL oracle (bit-mix agg); pytest-verified
+        return simhash_dup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 3)
+
+    def dedup_embedding_cosine(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("i") < F.col("j"))
+            .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+            .where(F.col("cos") >= 0.4)
+            .select("i", "j", "cos")
+        )
+
+    def ann_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+    def ann_lsh(spark, sf):  # approximate by design — no oracle; recall tested
+        e = _t(spark, sf, "embeddings")
+        return lsh_ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
+
+    def text_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            n_tokens_col(F.col("text")).cast("long").alias("n_tokens"),
+            F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+            F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+            quality_ok_col(F.col("text")).alias("quality_ok"),
+        )
+
+    def token_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("lang", n_tokens_col(F.col("text")).alias("nt"))
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("nt").cast("long").alias("total_tokens"),
+                F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            )
+        )
+
+    def lang_id(spark, sf):  # heuristic — no SQL oracle; accuracy pytest-checked
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
+
+    def doc_fingerprint(spark, sf):  # winnowing — no SQL oracle; pytest-checked
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.size(winnow_fingerprints(F.col("text"))).alias("n_fingerprints"),
+            F.array_min(winnow_fingerprints(F.col("text"))).alias("min_fp"),
+        )
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "topk_global": topk_global,
+        "window_rank_topk": window_rank_topk,
+        "anti_join": anti_join,
+        "semi_join": semi_join,
+        "broadcast_join": broadcast_join,
+        "skew_join": skew_join,
+        "union_distinct": union_distinct,
+        "groupby_count": groupby_count,
+        "distinct_count": distinct_count,
+        "filter_rlike": filter_rlike,
+        "explode_array": explode_array,
+        "json_extract": json_extract,
+        "tumbling_window": tumbling_window,
+        "hash64": hash64,
+        "approx_distinct": approx_distinct,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh": ann_lsh,
+        "text_quality": text_quality,
+        "token_count": token_count,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+    }
+
+
+_SHINGLE_CTE = """
+with toks as (select doc_id, regexp_split_to_array(text,'\\s+') l from documents),
+sh as (select doc_id,
+              unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                    for i in generate_series(1, len(l)-2)])) as sh
+       from toks where len(l) >= 3),
+cnt as (select doc_id, count(*) n from sh group by 1),
+inter as (select a.doc_id i, b.doc_id j, count(*) c
+          from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+          group by 1, 2)
+select i, j, round(c*1.0/(ca.n + cb.n - c), 6) as jac
+from inter
+join cnt ca on inter.i = ca.doc_id
+join cnt cb on inter.j = cb.doc_id
+where round(c*1.0/(ca.n + cb.n - c), 6) >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem group by 1, 2""",
+        "topk_global": """
+            select o_orderkey, o_custkey, round(o_totalprice, 2) as o_totalprice
+            from orders order by o_totalprice desc, o_orderkey asc limit 100""",
+        "window_rank_topk": """
+            select o_custkey, o_orderkey, rnk from (
+              select o_custkey, o_orderkey,
+                     row_number() over (partition by o_custkey
+                                        order by o_totalprice desc, o_orderkey asc) as rnk
+              from orders) where rnk <= 3""",
+        "anti_join": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders where o_custkey = c_custkey)""",
+        "semi_join": """
+            select c_custkey from customer
+            where exists (select 1 from orders where o_custkey = c_custkey)""",
+        "broadcast_join": """
+            select r_name, count(*) as n_customers, round(sum(c_acctbal), 2) as sum_bal
+            from customer
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by 1""",
+        "skew_join": """
+            select o_orderpriority, count(*) as n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by 1""",
+        "union_distinct": """
+            select distinct key from (
+              select l_partkey as key from lineitem
+              union all
+              select p_partkey as key from part)""",
+        "groupby_count": """
+            select l_suppkey, count(*) as n_items,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   min(l_orderkey) as min_orderkey
+            from lineitem group by 1""",
+        "distinct_count": """
+            select l_returnflag, count(distinct l_partkey) as n_parts
+            from lineitem group by 1""",
+        "filter_rlike": """
+            select doc_id, lang from documents
+            where regexp_matches(text, 'spark.*join|join.*spark')""",
+        "explode_array": """
+            select label, count(*) as n_values, round(avg(v), 4) as avg_v
+            from (select label, unnest(embedding) as v from embeddings)
+            group by 1""",
+        "json_extract": """
+            select event_type, count(*) as n,
+                   round(avg(json_extract_string(props, '$.k')::int), 4) as avg_k
+            from events group by 1""",
+        "tumbling_window": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+                   event_type, count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2""",
+        "dedup_exact": """
+            select md5(text) as content_hash, count(*) as n_dups,
+                   min(doc_id) as keeper_doc_id
+            from documents group by 1""",
+        "dedup_ngram_jaccard": _SHINGLE_CTE,
+        "dedup_minhash_lsh": _SHINGLE_CTE,
+        "dedup_embedding_cosine": """
+            with e as (select vec_id, embedding::double[] as v from embeddings)
+            select a.vec_id as i, b.vec_id as j,
+                   round(list_sum([a.v[k] * b.v[k] for k in generate_series(1, 64)])
+                         / (sqrt(list_sum([a.v[k] * a.v[k] for k in generate_series(1, 64)]))
+                          * sqrt(list_sum([b.v[k] * b.v[k] for k in generate_series(1, 64)]))), 4) as cos
+            from e a join e b on a.vec_id < b.vec_id
+            where round(list_sum([a.v[k] * b.v[k] for k in generate_series(1, 64)])
+                         / (sqrt(list_sum([a.v[k] * a.v[k] for k in generate_series(1, 64)]))
+                          * sqrt(list_sum([b.v[k] * b.v[k] for k in generate_series(1, 64)]))), 4) >= 0.4""",
+        "ann_cosine_topk": """
+            with e as (select vec_id, embedding::double[] as v from embeddings),
+            scored as (
+              select q.vec_id as query_id, c.vec_id as neighbor_id,
+                     list_sum([q.v[k] * c.v[k] for k in generate_series(1, 64)])
+                     / (sqrt(list_sum([q.v[k] * q.v[k] for k in generate_series(1, 64)]))
+                      * sqrt(list_sum([c.v[k] * c.v[k] for k in generate_series(1, 64)]))) as cos
+              from e q join e c on q.vec_id < 10 and q.vec_id != c.vec_id)
+            select query_id, neighbor_id, rank from (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored) where rank <= 5""",
+        "text_quality": """
+            select doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) as n_tokens,
+                   round(case when length(text) > 0
+                         then length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+                         else 0 end, 6) as punct_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t in ('the','a','of','and','to','in','is','that'))) * 1.0
+                         / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) as stopword_ratio,
+                   (len(regexp_split_to_array(text, '\\s+')) between 5 and 100000)
+                   and (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
+                        / greatest(length(text), 1) <= 0.3)
+                   and (length(text) * 1.0 / greatest(len(regexp_split_to_array(text, '\\s+')), 1) <= 40)
+                   as quality_ok
+            from documents""",
+        "token_count": """
+            select lang, count(*) as n_docs,
+                   sum(len(regexp_split_to_array(text, '\\s+')))::bigint as total_tokens,
+                   round(avg(len(regexp_split_to_array(text, '\\s+'))), 4) as avg_tokens
+            from documents group by 1""",
+    }

@@ -10,6 +10,10 @@ from tor_spider_spark.plans.driver import CrawlDriver
 
 
 def _run(spark, tmp, smoke_dfs, smoke_fixture, smoke_cfg, use_bloom: bool):
+    import dataclasses
+
+    # bloom variant forces the probe path even at toy seen sizes
+    cfg = dataclasses.replace(smoke_cfg, bloom_min_seen=0) if use_bloom else smoke_cfg
     drv = CrawlDriver(
         spark,
         str(tmp),
@@ -17,7 +21,7 @@ def _run(spark, tmp, smoke_dfs, smoke_fixture, smoke_cfg, use_bloom: bool):
         smoke_dfs["seeds"],
         smoke_dfs["robots"],
         smoke_fixture.blacklist,
-        smoke_cfg,
+        cfg,
         use_bloom=use_bloom,
     )
     drv.run()

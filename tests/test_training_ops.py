@@ -1,0 +1,139 @@
+"""Semantic tests for the training-data pipeline operators on planted
+fixtures — the DuckDB oracle gate (test_queries_oracle) proves engine↔SQL
+agreement; these prove the operators find what they are supposed to find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tor_spider_spark.functions.hashing import xxh64
+from tor_spider_spark.functions.text import lang_id_col
+from tor_spider_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    simhash_signatures,
+)
+from tor_spider_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden every morning"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning joins aggregates and windows"),
+        (5, BASE.replace("morning", "evening").replace("cat", "kitten")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    groups = exact_dedup_groups(_docs(spark)).collect()
+    dup_groups = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_dups"] == 2 and dup_groups[0]["keeper_doc_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(_docs(spark), 0.5).collect()}
+    assert (0, 1) in pairs  # exact dup: jaccard 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word swap
+    assert not any({3, 4} & {i, j} for i, j in pairs)  # unrelated docs stay out
+
+
+def test_minhash_lsh_equals_exact_pairs(spark):
+    docs = _docs(spark)
+    exact = {(r["i"], r["j"], r["jac"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r["i"], r["j"], r["jac"]) for r in minhash_lsh_dedup_pairs(docs, 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_agrees_with_pure_python(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+
+    def py_simhash(text: str) -> int:
+        sums = [0] * 64
+        for t in text.split():
+            h = xxh64(t)
+            for j in range(64):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(64):
+            if sums[j] > 0:
+                v |= 1 << j
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for did, text in docs.items():
+        assert sigs[did] == py_simhash(text), did
+
+
+def test_simhash_pairs_find_near_dups(spark):
+    pairs = {(r["i"], r["j"]) for r in simhash_dup_pairs(_docs(spark), max_hamming=3).collect()}
+    assert (0, 1) in pairs  # identical text → hamming 0
+    assert not any({3, 4} & {i, j} for i, j in pairs)
+
+
+def _embeddings(spark, n=200, dim=16):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant: vec 1 = vec 0 + tiny noise
+    base[1] = base[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_topk_finds_planted_neighbor(spark):
+    e = _embeddings(spark)
+    top = cosine_topk(e, e.where(F.col("vec_id") == 0), k=3).collect()
+    assert top[0]["neighbor_id"] == 1 and top[0]["rank"] == 1
+
+
+def test_lsh_ann_recall_at_k(spark):
+    e = _embeddings(spark).localCheckpoint()
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(e, q, k=5, dim=16, n_tables=16, bits=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # approximate by design; planted near-identical pair must be found
+    assert (0, 1) in approx
+    assert recall >= 0.5, recall
+
+
+def test_lang_id_on_real_text(spark):
+    rows = [
+        (0, "the cat and the dog went to the market with a basket", "en"),
+        (1, "der Hund und die Katze sind nicht mit dem Auto gefahren", "de"),
+        (2, "le chat et les chiens sont dans la maison avec des amis", "fr"),
+        (3, "el perro y los gatos están en una casa por la mañana para siempre", "es"),
+        (4, "这是一个中文句子用来测试语言识别功能", "zh"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_id_col(F.col("text")).alias("g")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_winnow_fingerprints_overlap_for_near_dups(spark):
+    from tor_spider_spark.functions.text import winnow_fingerprints
+
+    df = _docs(spark).select("doc_id", winnow_fingerprints(F.col("text")).alias("fp"))
+    fps = {r["doc_id"]: set(r["fp"]) for r in df.collect()}
+    assert fps[0] == fps[1]  # identical docs → identical fingerprints
+    j02 = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    j03 = len(fps[0] & fps[3]) / len(fps[0] | fps[3])
+    assert j02 > 0.5 > j03  # near-dup overlaps strongly, unrelated doesn't

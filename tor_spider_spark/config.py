@@ -43,6 +43,12 @@ class CrawlConfig:
     # bloom shard sizing (SURVEY §4.4): bits/key ≈ 10 → fpp ≈ 1%
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 7
+    # probe short-circuit pays off only when `seen` is large enough that
+    # the exact anti-join shuffle dominates; below this row count the
+    # shards are still MAINTAINED every round (cheap, incremental — they
+    # must exist for resume and for the moment seen crosses the line) but
+    # probing is skipped and the exact anti-join runs alone.
+    bloom_min_seen: int = 5_000_000
     blacklist: tuple[str, ...] = field(default_factory=tuple)
 
 

@@ -1,0 +1,118 @@
+"""Text-analysis column functions for training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All hot-path expressions are native Catalyst (split/regexp/aggregate —
+whole-stage codegen); only the winnowing fingerprint uses an Arrow-batched
+pandas UDF (rolling hash over char shingles is not expressible natively).
+
+These operate on a generic (doc_id, text) shape — the `documents` driver
+table or the crawl engine's `caption` column alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+TOKEN_SPLIT = r"\s+"
+
+# small frozen stopword sets for the quality ratio and the langid heuristic
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that")
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por", "para"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization — matches regexp_split_to_array(text,'\\s+')
+    in the DuckDB oracles."""
+    return F.split(text, TOKEN_SPLIT)
+
+
+def n_tokens_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """len(punct chars)/len(text); punct class frozen to match the oracle."""
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+
+
+def quality_ok_col(text: Column) -> Column:
+    """Length / punctuation / token-length heuristics, Gopher-rule style."""
+    n = n_tokens_col(text)
+    return (
+        (n >= 5)
+        & (n <= 100000)
+        & (punct_ratio_col(text) <= 0.3)
+        & (F.length(text) / F.greatest(n, F.lit(1)) <= 40)  # mean token length sane
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID: CJK codepoint share → zh; else the marker-word
+    set with the highest hit count; ties broken by a fixed language order
+    (deterministic). Pure Catalyst expressions — no UDF."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    toks = tokens_col(F.lower(text))
+    def _marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reversed priority; later wins ties -> en first overall
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(cjk * 3 >= F.length(text), F.lit("zh")).otherwise(best)
+
+
+_FP_WINDOW = 8
+_FP_SHINGLE = 5
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1000003)
+
+
+@pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints(text: pd.Series) -> pd.Series:
+    """Winnowing document fingerprints (Schleimer et al. 2003, public
+    algorithm): rolling polynomial hash over char 5-grams, per-window
+    minimum (window=8), distinct minima returned. Arrow-batched; numpy
+    rolling window inside."""
+    out = []
+    for t in text:
+        if t is None or len(t) < _FP_SHINGLE:
+            out.append([])
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < _FP_SHINGLE:
+            out.append([])
+            continue
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(b) - _FP_SHINGLE + 1, dtype=np.uint64)
+            for i in range(_FP_SHINGLE):
+                h = h * _FP_BASE + b[i : len(b) - _FP_SHINGLE + 1 + i]
+        if len(h) <= _FP_WINDOW:
+            mins = np.array([h.min()])
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, _FP_WINDOW)
+            mins = sw.min(axis=1)
+        fps = np.unique(mins).astype(np.int64)
+        out.append(fps.tolist())
+    return pd.Series(out)

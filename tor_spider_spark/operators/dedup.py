@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as DataFrame programs over a generic
+(doc_id:long, text:string) shape:
+
+- exact            — hash-groupBy on md5(text) (one shuffle, map-side
+                     partial agg free via Catalyst)
+- ngram_jaccard    — EXACT near-dup pairs via distinct word-trigram
+                     shingles + equi-join on shingle + group (the join is
+                     the scalable trick: |pairs| touched only where
+                     shingles collide; never a cross join)
+- minhash_lsh      — the 100 TB path: 64-perm MinHash signatures in ONE
+                     aggregation pass, banded LSH bucketing to generate
+                     candidates, exact-Jaccard verification of candidates
+                     (so output ≡ ngram_jaccard at high thresholds; LSH
+                     only prunes the pair space)
+- simhash          — 64-bit SimHash built from native bit-arithmetic
+                     aggregations (no UDF), candidate pairs via 16-bit
+                     band pigeonholing (hamming ≤ 3 ⇒ ≥1 of 4 bands
+                     equal), verified with bit_count(xor)
+
+Scale notes: every stage is shuffle-on-key (shingle, band hash) with
+skew-safe small keys; signatures are fixed-width (64 longs) so the LSH
+join shuffles O(docs·bands) tiny rows, not shingle sets. At 100 TB the
+shingle join of `ngram_jaccard` is the one to avoid — that is exactly why
+`minhash_lsh` exists; keep `ngram_jaccard` for verification samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*h + b) stays within int64 for a,b,h < p
+_MH_P = (1 << 31) - 1
+_N_PERM = 64
+_BANDS = 16  # 16 bands x 4 rows: P(candidate | j=0.8) ≈ 0.9998
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic per-permutation (a, b) — odd a, derived from i."""
+    a = (2 * i + 1) * 0x9E3779B1 % _MH_P
+    b = (i * 0x85EBCA77 + 0x27D4EB2F) % _MH_P
+    return (a or 1), b
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """md5(text) hash-groups; keeper = min doc_id (deterministic)."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def word_trigram_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per doc. element_at is 1-based to
+    match the DuckDB oracle's l[i]."""
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("l")).where(F.size("l") >= 3)
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("l") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("l"), i),
+                            F.element_at(F.col("l"), i + 1),
+                            F.element_at(F.col("l"), i + 2),
+                        ),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (i < j) with word-trigram Jaccard ≥ threshold (exact)."""
+    sh = word_trigram_shingles(docs).localCheckpoint()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
+        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+        .withColumn("jac", F.round(F.col("c") / (F.col("ni") + F.col("nj") - F.col("c")), 6))
+        .where(F.col("jac") >= threshold)
+        .select("i", "j", "jac")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-permutation MinHash over word-trigram shingles, computed in a
+    single groupBy pass (64 min-aggregates over one shuffle)."""
+    sh = word_trigram_shingles(docs).withColumn(
+        "h", F.pmod(F.xxhash64("sh"), F.lit(_MH_P))
+    )
+    aggs = []
+    for i in range(_N_PERM):
+        a, b = _mh_params(i)
+        aggs.append(F.min(F.pmod(F.col("h") * a + b, F.lit(_MH_P))).alias(f"m{i}"))
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(_N_PERM)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = _BANDS) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become candidates."""
+    rows_per_band = _N_PERM // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidates → exact word-trigram Jaccard verification.
+
+    Output is the TRUE pair set at the threshold as long as LSH recall
+    holds (16 bands × 4 rows ⇒ miss prob (1-j⁴)^16 < 2e-4 at j=0.8);
+    verification guarantees no false positives ever.
+    """
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
+    sh = word_trigram_shingles(docs).localCheckpoint()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # join candidate pairs to both shingle sets; count shared shingles
+    si = sh.select(F.col("doc_id").alias("i"), F.col("sh").alias("shi"))
+    sj = sh.select(F.col("doc_id").alias("cj"), F.col("sh").alias("shj"))
+    inter = (
+        cand.join(si, "i")
+        .join(sj, (F.col("j") == F.col("cj")) & (F.col("shi") == F.col("shj")))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
+        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+        .withColumn("jac", F.round(F.col("c") / (F.col("ni") + F.col("nj") - F.col("c")), 6))
+        .where(F.col("jac") >= threshold)
+        .select("i", "j", "jac")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash from whitespace tokens — fully native bit arithmetic:
+    per bit j, sum(±1) over token hashes; bit set iff sum > 0."""
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming. Candidates via
+    pigeonhole banding (4 × 16-bit chunks: distance ≤ 3 ⇒ some chunk is
+    equal) — join on chunk, never a cross join; verified with
+    bit_count(xor)."""
+    sig = simhash_signatures(docs).localCheckpoint()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.chunk", "b.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

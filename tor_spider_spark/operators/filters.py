@@ -44,12 +44,16 @@ def admit(
     )
     seeds = s.where(F.col("is_seed"))
     nonseeds = s.where(~F.col("is_seed"))
+    # anti-join on (url_hash, host_hash): url determines host, so adding
+    # host_hash is semantics-preserving and lets bucket(host_hash)-aligned
+    # sides join without an exchange (storage-partitioned join at scale)
+    seen_keys = seen.select("url_hash", "host_hash")
     if bloom_probe is not None:
         # bloom short-circuit: definite-negatives skip the exact anti-join
         nonseeds = bloom_probe(nonseeds)
         maybe = nonseeds.where(F.col("_bloom_maybe")).drop("_bloom_maybe")
         fresh = nonseeds.where(~F.col("_bloom_maybe")).drop("_bloom_maybe")
-        deduped = maybe.join(seen.select("url_hash"), "url_hash", "left_anti").unionByName(fresh)
+        deduped = maybe.join(seen_keys, ["url_hash", "host_hash"], "left_anti").unionByName(fresh)
     else:
-        deduped = nonseeds.join(seen.select("url_hash"), "url_hash", "left_anti")
+        deduped = nonseeds.join(seen_keys, ["url_hash", "host_hash"], "left_anti")
     return seeds.unionByName(deduped)

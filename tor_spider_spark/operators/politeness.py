@@ -36,9 +36,17 @@ def collapse_candidates(frontier: DataFrame) -> DataFrame:
     """Step 1 of the frozen round semantics: collapse duplicate frontier
     rows per url — min (depth, discovered_round) wins, is_seed is OR'd.
     (The reference tolerates duplicate Mongo jobs and dedups at visit
-    time, spider/spider.go:301; collapsing at claim is equivalent.)"""
+    time, spider/spider.go:301; collapsing at claim is equivalent.)
+
+    Exchange fusion: we repartition ONCE on host_hash; the groupBy keys
+    include host_hash, so HashPartitioning(host_hash) satisfies the
+    grouping's ClusteredDistribution, and the downstream politeness
+    window partitions by (host_hash, host) — the whole collapse→rank
+    prefix runs on a single exchange. (With Iceberg storage-partitioned
+    reads on bucket(host_hash) even that exchange disappears.)"""
     return (
-        frontier.groupBy("url", "url_hash", "host", "host_hash")
+        frontier.repartition("host_hash")
+        .groupBy("url", "url_hash", "host", "host_hash")
         .agg(
             F.min(F.struct("depth", "discovered_round")).alias("_dd"),
             F.max("is_seed").alias("is_seed"),
@@ -54,6 +62,52 @@ def collapse_candidates(frontier: DataFrame) -> DataFrame:
             "is_seed",
         )
     )
+
+
+_SMALL_ROUND = 65536
+
+
+def _global_rank(df: DataFrame, round_limit: int) -> DataFrame:
+    """Total-order global rank (1-based) in the frozen W3 order.
+
+    Small rounds (the reference envelope: MINIMUM_JOBS=64-scale batches)
+    take the cheap path: top-k prune (TakeOrderedAndProject — no full
+    sort) then a single bounded window.  Large rounds take the scalable
+    two-phase path: range-partition on the total order, rank within
+    partitions, add per-partition offsets (one tiny driver collect) — no
+    single-partition shuffle anywhere, so a 10^7-row round ranks in
+    parallel.
+    """
+    if round_limit <= _SMALL_ROUND:
+        topk = df.orderBy(*total_order()).limit(round_limit)
+        w = Window.orderBy(*total_order())
+        return topk.withColumn("rank", F.row_number().over(w))
+
+    # range-partition + local sort = globally sorted; monotonically_
+    # increasing_id is (pid << 33) + consecutive local index, so the
+    # global rank is local index + per-partition offset — ONE exchange,
+    # one local sort, no second shuffle and no window. localCheckpoint
+    # pins the data so the offsets pass and the output pass agree.
+    part = (
+        df.repartitionByRange(*total_order())
+        .sortWithinPartitions(*total_order())
+        .localCheckpoint()
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    cnts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local_ix = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    pid = F.shiftright("_mid", 33)
+    return part.withColumn("rank", (local_ix + offmap[pid] + 1).cast("int")).drop("_mid")
 
 
 def schedule_round(
@@ -74,7 +128,9 @@ def schedule_round(
             "host",
             "left",
         )
-        .join(host_state.select("host", "last_fetch_round"), "host", "left")
+        # broadcast locally (host_state is one row per crawled host); at
+        # 10^7-host scale this becomes a bucket-aligned join on host_hash
+        .join(F.broadcast(host_state.select("host", "last_fetch_round")), "host", "left")
         .withColumn("_delay_rounds", F.coalesce(F.floor(F.col("crawl_delay_ms") / 1000), F.lit(0)))
         .withColumn("_budget", F.coalesce("max_per_round", F.lit(cfg.default_host_budget)))
     )
@@ -85,14 +141,15 @@ def schedule_round(
             & (F.lit(round_no) - F.col("last_fetch_round") <= F.col("_delay_rounds"))
         )
     )
-    host_w = Window.partitionBy("host").orderBy(*total_order())
+    # (host_hash, host) keys: satisfied by the collapse exchange on
+    # host_hash — no new shuffle; `host` kept in the keys so a host_hash
+    # collision can never merge two hosts' budgets
+    host_w = Window.partitionBy("host_hash", "host").orderBy(*total_order())
     budgeted = eligible.withColumn("_hr", F.row_number().over(host_w)).where(
         F.col("_hr") <= F.col("_budget")
     )
-    topk = budgeted.orderBy(*total_order()).limit(cfg.round_limit)
-    # global rank over ≤ round_limit rows — bounded single-partition window
-    rank_w = Window.orderBy(*total_order())
-    return topk.withColumn("rank", F.row_number().over(rank_w)).select(
+    ranked = _global_rank(budgeted, cfg.round_limit)
+    return ranked.where(F.col("rank") <= cfg.round_limit).select(
         F.lit(round_no).alias("round"),
         "rank",
         "url",

@@ -139,10 +139,17 @@ class CrawlDriver:
             blooms = t["bloom_shards"].read(spark, 0)
 
         summary = CrawlSummary()
+        seen_count = seen.count() if self.bloom else 0
         for rnd in range(start, max_rounds):
             if frontier.isEmpty():
                 break
-            probe = self.bloom.probe(blooms) if self.bloom else None
+            # adaptive probe: bloom short-circuit only once `seen` is big
+            # enough that the exact anti-join shuffle dominates (config.py)
+            probe = (
+                self.bloom.probe(blooms)
+                if self.bloom and seen_count >= cfg.bloom_min_seen
+                else None
+            )
             res = run_round(
                 rnd,
                 frontier,
@@ -200,6 +207,7 @@ class CrawlDriver:
             seen = t["seen"].read(spark, versions["seen"])
             host_state = t["host_state"].read(spark, versions["host_state"])
 
+            seen_count += res.n_admitted  # upper estimate; threshold only
             summary.rounds_run += 1
             summary.n_scheduled += res.n_scheduled
             summary.n_admitted += res.n_admitted

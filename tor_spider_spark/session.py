@@ -20,9 +20,11 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     if shuffle_partitions is None:
-        # match core count locally; a cluster wants 2-3x total cores
+        # 3x cores: stragglers from skewed keys (hub hosts) smooth out and
+        # AQE coalesces the excess back — same rule on a real cluster
         n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        cores = 32 if n == "*" else int(n)
+        shuffle_partitions = max(8, 3 * cores)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
