@@ -64,3 +64,25 @@ def test_metrics_and_lineage_written(spark, tmp_path, smoke_dfs, smoke_fixture, 
     assert {"n_scheduled", "n_admitted", "n_pages", "n_scheduled_partition"} <= names
     rounds = m.select("round").distinct().count()
     assert rounds == 6
+
+
+def test_body_size_cap_f9(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, smoke_sim):
+    """F9 (reference ships it disabled, spider.go:124,170): with a cap on,
+    oversized payloads vanish from pages but the traversal (seen set) is
+    unchanged — engine and simulator agree under the same cfg."""
+    import dataclasses
+
+    from tor_spider_spark.simulator import simulate
+
+    cap = 1200  # below typical 32x32 PNG size, above most qjpg sizes
+    cfg = dataclasses.replace(smoke_cfg, max_body_bytes=cap)
+    sim = simulate(smoke_fixture, cfg)
+    drv = _run(spark, tmp_path / "cap", smoke_dfs, smoke_fixture, cfg, use_bloom=False)
+
+    assert {r["url_hash"]: r["first_round"] for r in drv.read("seen").collect()} == sim.seen_hashes()
+    eng = sorted((r["url"], r["round"]) for r in drv.read("pages").select("url", "round").collect())
+    gold = sorted((p["url"], p["round"]) for p in sim.pages)
+    assert eng == gold
+    assert len(eng) < len(smoke_sim.pages)  # the cap actually dropped rows
+    for r in drv.read("pages").select("bytes").collect():
+        assert r["bytes"] is None or len(r["bytes"]) <= cap

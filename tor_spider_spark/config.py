@@ -49,6 +49,11 @@ class CrawlConfig:
     # must exist for resume and for the moment seen crosses the line) but
     # probing is skipped and the exact anti-join runs alone.
     bloom_min_seen: int = 5_000_000
+    # F9: max stored payload size; the reference ships this disabled
+    # (c.MaxBodySize commented out, spider/spider.go:124,170) — None = off.
+    # When set, oversized pages are dropped from the pages sink but their
+    # links still expand (colly caps the BODY, not the traversal).
+    max_body_bytes: int | None = None
     blacklist: tuple[str, ...] = field(default_factory=tuple)
 
 

@@ -82,24 +82,29 @@ def run_round(
     fetched = fetch.where(F.col("_status") == 200).localCheckpoint()
 
     # pages: payload join only for fetched rows (column pruning discipline)
-    pages = (
-        fetched.select("url", "url_hash", "host", "host_hash", "depth")
-        .join(corpus_payload, "url", "inner")
-        .select(
-            "url",
-            "url_hash",
-            "host",
-            "host_hash",
-            F.col("status").cast("int").alias("status"),
-            F.lit(round_no).alias("round"),
-            "image_id",
-            "bytes",
-            "w",
-            "h",
-            "fmt",
-            "caption",
-            "phash",
+    pages = fetched.select("url", "url_hash", "host", "host_hash", "depth").join(
+        corpus_payload, "url", "inner"
+    )
+    if cfg.max_body_bytes is not None:
+        # F9 body-size cap (reference ships it disabled, spider.go:124,170):
+        # oversized payloads are not STORED; traversal is unaffected
+        pages = pages.where(
+            F.col("bytes").isNull() | (F.length("bytes") <= cfg.max_body_bytes)
         )
+    pages = pages.select(
+        "url",
+        "url_hash",
+        "host",
+        "host_hash",
+        F.col("status").cast("int").alias("status"),
+        F.lit(round_no).alias("round"),
+        "image_id",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        "caption",
+        "phash",
     )
     n_pages = fetched.count()
 

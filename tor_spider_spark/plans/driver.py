@@ -11,6 +11,7 @@ point resumes from the last committed round with identical results
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -24,6 +25,8 @@ from ..functions.urls import with_url_identity
 from ..operators.bloom import BloomShards
 from ..sources.tables import CheckpointLog, SnapshotTable
 from .crawl_round import run_round
+
+_log = logging.getLogger("tor_spider_spark.driver")
 
 _TABLES = {
     "frontier": schemas.FRONTIER,
@@ -207,6 +210,16 @@ class CrawlDriver:
             seen = t["seen"].read(spark, versions["seen"])
             host_state = t["host_state"].read(spark, versions["host_state"])
 
+            # status heartbeat (reference logs registry.Statuses() on a
+            # ticker, main.go:178-196 — here once per committed round)
+            _log.info(
+                "round=%d scheduled=%d admitted=%d pages=%d discovered=%d",
+                rnd,
+                res.n_scheduled,
+                res.n_admitted,
+                res.n_pages,
+                res.n_discovered,
+            )
             seen_count += res.n_admitted  # upper estimate; threshold only
             summary.rounds_run += 1
             summary.n_scheduled += res.n_scheduled

@@ -177,16 +177,20 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
             page = corpus.get(row["url"])
             if page is None or page["status"] != 200:
                 continue  # OnError: dropped
-            res.pages.append(
-                {
-                    "url": row["url"],
+            blob = page.get("bytes")
+            if cfg.max_body_bytes is not None and blob is not None and len(blob) > cfg.max_body_bytes:
+                pass  # F9: body too large -> not stored (links still expand)
+            else:
+                res.pages.append(
+                    {
+                        "url": row["url"],
                     "round": rnd,
                     "image_id": page["image_id"],
                     "caption": page["caption"],
-                    "phash": page["phash"],
-                    "status": page["status"],
-                }
-            )
+                        "phash": page["phash"],
+                        "status": page["status"],
+                    }
+                )
             # (8) expand
             child_depth = row["depth"] + 1
             if child_depth > cfg.max_depth:
