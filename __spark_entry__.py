@@ -86,7 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngram_jaccard_pairs,
         simhash_dup_pairs,
     )
-    from tor_spider_spark.operators.similarity import cosine_col, cosine_topk, lsh_ann_topk
+    from tor_spider_spark.operators.similarity import (
+        cosine_topk,
+        embedding_dup_pairs,
+        lsh_ann_topk,
+    )
 
     def q1_pricing_summary(spark, sf):  # A5/W-agg flagship relational
         return (
@@ -249,16 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_dup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 3)
 
     def dedup_embedding_cosine(spark, sf):
-        e = _t(spark, sf, "embeddings")
-        a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-        b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-        return (
-            a.crossJoin(b)
-            .where(F.col("i") < F.col("j"))
-            .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
-            .where(F.col("cos") >= 0.4)
-            .select("i", "j", "cos")
-        )
+        # blocked BLAS matmul via mapInPandas (operators/similarity.py) —
+        # the Catalyst per-pair dot product is ~50x slower at sf0.1
+        return embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.4)
 
     def ann_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")

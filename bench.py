@@ -126,6 +126,8 @@ def bench_core(spark, n_rows: int) -> dict:
     n_admitted = [0]
 
     def run_once(probe) -> float:
+        spark.catalog.clearCache()  # the rank stage persists; identical
+        # re-runs would cache-hit on the logical plan and measure nothing
         t0 = time.time()
         candidates = collapse_candidates(frontier)
         scheduled = schedule_round(candidates, robots, host_state, 1, cfg)
@@ -138,8 +140,8 @@ def bench_core(spark, n_rows: int) -> dict:
     # One warmup (JIT/codegen/page cache), then best of 2 — run-to-run
     # variance on a shared box is large.
     run_once(None)
-    wall = min(run_once(None) for _ in range(2))
-    bloom_wall = min(run_once(bloom.probe(shards)) for _ in range(2))
+    wall = min(run_once(None) for _ in range(3))
+    bloom_wall = run_once(bloom.probe(shards))
     n_sched = n_rows  # all candidates pass politeness at this budget
     return {
         "frontier_rows": n_rows,
@@ -190,11 +192,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
     core_rows = int(os.environ.get("SPARK_GRAFT_CORE_ROWS", "2000000"))
-    spark = get_spark(f"local[{cpus}]", app_name="tor-spider-bench")
+    # SPARK_GRAFT_MASTER overrides, e.g. local-cluster[4,8,8192] for a
+    # true multi-executor-JVM run on one box
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    spark = get_spark(master, app_name="tor-spider-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     t_all = time.time()
-    result: dict = {"sf": sf_dir, "cpus": int(cpus)}
+    result: dict = {"sf": sf_dir, "cpus": int(cpus), "master": master}
     core = bench_core(spark, core_rows)
     result["core"] = core
     if mode != "core-only":

@@ -91,9 +91,11 @@ def _global_rank(df: DataFrame, round_limit: int) -> DataFrame:
     part = (
         df.repartitionByRange(*total_order())
         .sortWithinPartitions(*total_order())
-        .localCheckpoint()
+        .persist()  # pin: offsets pass and output pass must agree; the
         .withColumn("_mid", F.monotonically_increasing_id())
     )
+    # counts job doubles as the materializing action (no extra pass —
+    # an eager localCheckpoint here cost a full scan of its own)
     cnts = {
         r["_pid"]: r["n"]
         for r in part.groupBy(F.shiftright("_mid", 33).alias("_pid"))

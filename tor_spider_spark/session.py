@@ -22,8 +22,14 @@ def get_spark(
     if shuffle_partitions is None:
         # 3x cores: stragglers from skewed keys (hub hosts) smooth out and
         # AQE coalesces the excess back — same rule on a real cluster
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        cores = 32 if n == "*" else int(n)
+        spec = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        if master.startswith("local-cluster"):
+            # local-cluster[N,cores,memMB]: N executor JVMs — the truest
+            # single-box analog of an N-executor cluster
+            n_exec, cores_each = int(spec.split(",")[0]), int(spec.split(",")[1])
+            cores = n_exec * cores_each
+        else:
+            cores = 32 if spec == "*" else int(spec)
         shuffle_partitions = max(8, 3 * cores)
     builder = (
         SparkSession.builder.master(master)
@@ -44,4 +50,43 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    # S12 profiling analog (reference pprof hook, main.go:43-48)
+    eventlog_dir = os.environ.get("SPARK_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", eventlog_dir
+        )
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "6g")
+        )
+    spark = builder.getOrCreate()
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their own Python workers: ship the package
+        # the same way a real cluster submit does (--py-files)
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip tor_spider_spark for --py-files-style shipping (cached)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "tor_spider_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "tor_spider_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
