@@ -229,6 +229,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def sessionize(spark, sf):  # session windows (gap > 30 min) — the
+        # event-time stateful-streaming analog, batch-expressed
+        from pyspark.sql import Window
+
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        flag = F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0)
+        sess = e.withColumn("session_id", F.sum(flag).over(w).cast("long"))
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
     def hash64(spark, sf):  # C5: url_hash (no SQL oracle — Spark-specific hash)
         return _t(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
 
@@ -314,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_array": explode_array,
         "json_extract": json_extract,
         "tumbling_window": tumbling_window,
+        "sessionize": sessionize,
         "hash64": hash64,
         "approx_distinct": approx_distinct,
         "dedup_exact": dedup_exact,
@@ -413,6 +432,23 @@ def oracle_sql() -> dict[str, str]:
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",
+        "sessionize": """
+            with flagged as (
+              select user_id, event_id, ts, value,
+                     case when lag(ts) over w is null
+                            or epoch(ts) - epoch(lag(ts) over w) > 1800
+                          then 1 else 0 end as flag
+              from events
+              window w as (partition by user_id order by ts asc, event_id asc)),
+            sess as (
+              select user_id, event_id, ts, value,
+                     sum(flag) over (partition by user_id order by ts asc, event_id asc
+                                     rows unbounded preceding)::bigint as session_id
+              from flagged)
+            select user_id, session_id, count(*) as n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+                   round(sum(value), 2) as sum_value
+            from sess group by 1, 2""",
         "dedup_exact": """
             select md5(text) as content_hash, count(*) as n_dups,
                    min(doc_id) as keeper_doc_id

@@ -56,7 +56,7 @@ def _ensure_bench_fixture(spark) -> str:
     return path
 
 
-def bench_crawl(spark, rounds: int = 5) -> dict:
+def bench_crawl(spark, rounds: int = 8) -> dict:
     import tempfile
 
     from tor_spider_spark.plans.driver import CrawlDriver
