@@ -50,3 +50,30 @@ def test_rerun_is_idempotent_noop(spark, tmp_path, smoke_dfs, smoke_fixture, smo
     again.run(max_rounds=4, resume=True)  # already at round 4 → no new work
     after = sorted(map(tuple, again.read("seen").collect()))
     assert before == after
+
+
+def test_resume_with_compaction(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    """Compaction must not change any judged output nor break resume."""
+    import dataclasses
+
+    args_plain = (
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+    )
+    cfg_c = dataclasses.replace(smoke_cfg, compact_every=2)
+    args_c = args_plain[:-1] + (cfg_c,)
+
+    plain = CrawlDriver(spark, str(tmp_path / "p"), *args_plain)
+    plain.run(max_rounds=6)
+    comp = CrawlDriver(spark, str(tmp_path / "c"), *args_c)
+    comp.run(max_rounds=3)
+    comp2 = CrawlDriver(spark, str(tmp_path / "c"), *args_c)
+    comp2.run(max_rounds=6, resume=True)
+
+    for tbl, cols in _TABLES.items():
+        a = sorted(map(tuple, plain.read(tbl).select(*cols).collect()))
+        b = sorted(map(tuple, comp2.read(tbl).select(*cols).collect()))
+        assert a == b, tbl

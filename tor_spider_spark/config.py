@@ -54,6 +54,10 @@ class CrawlConfig:
     # When set, oversized pages are dropped from the pages sink but their
     # links still expand (colly caps the BODY, not the traversal).
     max_body_bytes: int | None = None
+    # compact append-only tables (seen/pages) every k rounds: bounds the
+    # manifest/file count over long crawls (Iceberg rewrite_data_files
+    # analog); 0 = off
+    compact_every: int = 0
     blacklist: tuple[str, ...] = field(default_factory=tuple)
 
 

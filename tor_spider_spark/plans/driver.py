@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import logging
 import os
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,20 +171,6 @@ class CrawlDriver:
                 self._seed_frontier(rnd + 1, periodic_only=True)
             )
 
-            versions = {
-                "frontier": t["frontier"].overwrite(frontier_next, cfg.n_buckets),
-                "seen": t["seen"].append(res.new_seen, cfg.n_buckets),
-                "pages": t["pages"].append(res.pages, cfg.n_buckets),
-                "schedule": t["schedule"].append(scheduled_projection(res.scheduled)),
-            }
-            host_state_next = res.host_state_next.localCheckpoint()
-            versions["host_state"] = t["host_state"].overwrite(host_state_next)
-            if self.bloom:
-                blooms_next = self.bloom.update(blooms, res.new_seen, rnd).localCheckpoint()
-                versions["bloom_shards"] = t["bloom_shards"].overwrite(blooms_next)
-                blooms = blooms_next
-            else:
-                versions["bloom_shards"] = t["bloom_shards"].latest_version()
             # per-partition lineage metrics (north rule)
             metrics = res.scheduled.groupBy(
                 F.spark_partition_id().alias("partition_id")
@@ -201,7 +189,36 @@ class CrawlDriver:
                 ],
                 schemas.METRICS,
             )
-            versions["metrics"] = t["metrics"].append(metrics.unionByName(globals_df))
+
+            # the 6 table writes are independent of each other: run them as
+            # concurrent Spark jobs (threads share the SparkContext; the
+            # scheduler interleaves their stages, hiding per-job latency —
+            # analog of the reference's parallel Mongo/ES flush goroutines,
+            # mongojobsstorage.go:255-291 / elasticpagestorage.go:96-144)
+            jobs: dict[str, Callable[[], int]] = {
+                "frontier": lambda: t["frontier"].overwrite(frontier_next, cfg.n_buckets),
+                "seen": lambda: t["seen"].append(res.new_seen, cfg.n_buckets),
+                "pages": lambda: t["pages"].append(res.pages, cfg.n_buckets),
+                "schedule": lambda: t["schedule"].append(scheduled_projection(res.scheduled)),
+                "host_state": lambda: t["host_state"].overwrite(res.host_state_next),
+                "metrics": lambda: t["metrics"].append(metrics.unionByName(globals_df)),
+            }
+            blooms_next = None
+            if self.bloom:
+                blooms_next = self.bloom.update(blooms, res.new_seen, rnd).localCheckpoint()
+                jobs["bloom_shards"] = lambda: t["bloom_shards"].overwrite(blooms_next)
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futures = {name: pool.submit(fn) for name, fn in jobs.items()}
+                versions = {name: fut.result() for name, fut in futures.items()}
+            if self.bloom:
+                blooms = blooms_next
+            else:
+                versions["bloom_shards"] = t["bloom_shards"].latest_version()
+            if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
+                # bound small-file growth on the append-only tables; the
+                # compacted version is what the checkpoint pins
+                versions["seen"] = t["seen"].compact(spark, cfg.n_buckets)
+                versions["pages"] = t["pages"].compact(spark, cfg.n_buckets)
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions)
 

@@ -98,6 +98,35 @@ class SnapshotTable:
         self._write_manifest(v, [commit])
         return v
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots analogs) --
+    def compact(self, spark: SparkSession, n_buckets: int | None = None) -> int:
+        """Rewrite the current version's many commit dirs (one per append —
+        the small-file problem at round counts in the hundreds) into a
+        single commit. Readers pinned to old versions are unaffected; the
+        new version is equivalent row-for-row."""
+        return self.overwrite(self.read(spark), n_buckets)
+
+    def vacuum(self, keep_versions: int = 3) -> list[str]:
+        """Delete data commits referenced ONLY by expired versions (older
+        than the newest *keep_versions*). Time travel keeps working for
+        retained versions — resume safety requires keep_versions >= the
+        deepest checkpoint still live. Returns removed commit dirs."""
+        import shutil
+
+        latest = self.latest_version()
+        keep_cut = max(latest - keep_versions + 1, 1)
+        live: set[str] = set()
+        for v in range(keep_cut, latest + 1):
+            live.update(self._read_manifest(v))
+        removed = []
+        for v in range(1, keep_cut):
+            for commit in self._read_manifest(v):
+                if commit not in live and os.path.isdir(commit):
+                    shutil.rmtree(commit, ignore_errors=True)
+                    removed.append(commit)
+            os.remove(self._manifest_path(v))
+        return removed
+
 
 class CheckpointLog:
     """Round-atomic commit record (SURVEY §4.3.3): one JSON file per round
