@@ -29,6 +29,7 @@ from ..operators.politeness import collapse_candidates, schedule_round
 
 @dataclass
 class RoundResult:
+    persisted: list  # DataFrames to unpersist once the round is committed
     scheduled: DataFrame
     admitted: DataFrame
     new_seen: DataFrame
@@ -54,13 +55,16 @@ def run_round(
     bloom_probe=None,
 ) -> RoundResult:
     candidates = collapse_candidates(frontier)
-    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg).localCheckpoint()
+    # persist + count-as-materializing-action: an eager localCheckpoint
+    # would cost a dedicated full pass per stage (see _global_rank note);
+    # recompute-on-eviction is deterministic (inputs are committed files)
+    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg).persist()
     n_scheduled = scheduled.count()
 
     # claim (frozen step 3; reference DeleteMany $in, mongojobsstorage.go:165-180)
     frontier_remainder = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
 
-    admitted = admit(scheduled, robots, seen, blacklist_patterns, bloom_probe).localCheckpoint()
+    admitted = admit(scheduled, robots, seen, blacklist_patterns, bloom_probe).persist()
     n_admitted = admitted.count()
 
     # mark seen on attempt (frozen step 5); seeds may already be present
@@ -79,7 +83,7 @@ def run_round(
         "url",
         "left",
     )
-    fetched = fetch.where(F.col("_status") == 200).localCheckpoint()
+    fetched = fetch.where(F.col("_status") == 200).persist()
 
     # pages: payload join only for fetched rows (column pruning discipline)
     pages = fetched.select("url", "url_hash", "host", "host_hash", "depth").join(
@@ -131,7 +135,7 @@ def run_round(
     discovered = with_url_identity(discovered)
     new_frontier_rows = discovered.join(
         seen_next.select("url_hash"), "url_hash", "left_anti"
-    ).localCheckpoint()
+    ).persist()
     n_discovered = new_frontier_rows.count()
 
     frontier_next = frontier_remainder.select(*[f.name for f in frontier.schema.fields]).unionByName(
@@ -147,6 +151,7 @@ def run_round(
     )
 
     return RoundResult(
+        persisted=[scheduled, admitted, fetched, new_frontier_rows],
         scheduled=scheduled,
         admitted=admitted,
         new_seen=new_seen,

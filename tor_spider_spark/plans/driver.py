@@ -222,6 +222,8 @@ class CrawlDriver:
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions)
 
+            for df in res.persisted:  # round is committed; release cache
+                df.unpersist(False)
             # roll state from the committed snapshots (lineage truncation)
             frontier = t["frontier"].read(spark, versions["frontier"])
             seen = t["seen"].read(spark, versions["seen"])
