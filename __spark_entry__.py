@@ -247,6 +247,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
 
+    def rollup_agg(spark, sf):  # hierarchical agg (region -> nation) —
+        # grouping-set shape over the broadcast-dim join
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+            .select(
+                F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                "n_customers",
+                "sum_bal",
+            )
+        )
+
     def hash64(spark, sf):  # C5: url_hash (no SQL oracle — Spark-specific hash)
         return _t(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
 
@@ -333,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": json_extract,
         "tumbling_window": tumbling_window,
         "sessionize": sessionize,
+        "rollup_agg": rollup_agg,
         "hash64": hash64,
         "approx_distinct": approx_distinct,
         "dedup_exact": dedup_exact,
@@ -432,6 +451,15 @@ def oracle_sql() -> dict[str, str]:
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",
+        "rollup_agg": """
+            select coalesce(r_name, 'ALL') as r_name,
+                   coalesce(n_name, 'ALL') as n_name,
+                   count(*) as n_customers,
+                   round(sum(c_acctbal), 2) as sum_bal
+            from customer
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by rollup (r_name, n_name)""",
         "sessionize": """
             with flagged as (
               select user_id, event_id, ts, value,

@@ -153,6 +153,30 @@ def bench_core(spark, n_rows: int) -> dict:
     }
 
 
+def bench_calibrate(spark) -> dict:
+    """Hardware-ceiling calibration: an embarrassingly parallel pure-CPU
+    job (sha2 over 30M longs, no shuffle). Whatever scaling THIS shows is
+    the most the box can give any engine; BENCH/scaling.py normalizes the
+    engine's efficiency against it (this shared VM delivers only ~2x going
+    8->32 threads even for perfect-parallel work)."""
+    import time as _t
+
+    df = spark.range(30_000_000)
+
+    def q():
+        df.select(
+            F.count(F.when(F.sha2(F.col("id").cast("string"), 256).startswith("00"), 1))
+        ).collect()
+
+    q()
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.time()
+        q()
+        best = min(best, _t.time() - t0)
+    return {"rows_per_sec": round(30_000_000 / best, 1), "wall_sec": round(best, 3)}
+
+
 _BENCH_QUERIES = [
     "q1_pricing_summary",
     "skew_join",
@@ -200,6 +224,12 @@ def main() -> None:
 
     t_all = time.time()
     result: dict = {"sf": sf_dir, "cpus": int(cpus), "master": master}
+    if mode == "calibrate":
+        result["calibration"] = bench_calibrate(spark)
+        result.update(metric="pure-cpu calibration rows/sec", value=result["calibration"]["rows_per_sec"], unit="rows/sec", queries={}, total_sec=round(time.time() - t_all, 1))
+        print(json.dumps(result))
+        spark.stop()
+        return
     core = bench_core(spark, core_rows)
     result["core"] = core
     if mode != "core-only":

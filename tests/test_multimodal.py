@@ -1,0 +1,53 @@
+"""Multimodal mapInPandas plumbing: image features/resize on REAL codec
+output; audio on the documented deterministic stub."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tor_spider_spark.fixtures.images import decode_png, encode_png, phash64
+from tor_spider_spark.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    resize_images,
+)
+
+
+def _images(spark, n=8, px=32):
+    rows = []
+    for i in range(n):
+        arr = np.random.default_rng(i).integers(0, 256, (px, px, 3), dtype=np.uint8)
+        rows.append((f"img{i}", encode_png(arr)))
+    return spark.createDataFrame(rows, "image_id string, bytes binary"), rows
+
+
+def test_extract_image_features(spark):
+    df, rows = _images(spark)
+    got = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    assert set(got) == {f"img{i}" for i in range(8)}
+    for iid, blob in rows:
+        px = decode_png(blob)
+        r = got[iid]
+        assert (r["w"], r["h"]) == (px.shape[1], px.shape[0])
+        assert abs(r["mean_r"] - px[..., 0].mean()) < 1e-6
+        assert r["phash"] == phash64(px)
+
+
+def test_resize_images(spark):
+    df, _ = _images(spark, n=4, px=48)
+    out = {r["image_id"]: r for r in resize_images(df, target=16).collect()}
+    for iid, r in out.items():
+        assert (r["w"], r["h"]) == (16, 16)
+        small = decode_png(bytes(r["bytes"]))
+        assert small.shape == (16, 16, 3)
+
+
+def test_audio_stub_plumbing(spark):
+    pcm = (np.sin(np.linspace(0, 100, 32000)) * 10000).astype(np.int16)
+    df = spark.createDataFrame([("clip0", pcm.tobytes()), ("clip1", None)], "clip_id string, bytes binary")
+    rows = extract_audio_features(df).collect()
+    assert len(rows) == 1  # null payload skipped
+    r = rows[0]
+    assert r["clip_id"] == "clip0"
+    assert abs(r["duration_s"] - 2.0) < 1e-6
+    assert 6000 < r["rms"] < 8000  # sine rms ≈ amplitude/sqrt(2)
