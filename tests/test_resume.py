@@ -35,6 +35,40 @@ def test_resume_reproduces_full_run(spark, tmp_path, smoke_dfs, smoke_fixture, s
         assert a == b, tbl
 
 
+def test_resume_after_mid_round_kill(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    """Kill INSIDE a round: some table versions were written but the
+    checkpoint never committed. Resume must ignore those orphan versions
+    entirely — re-running the round must not duplicate their rows."""
+    args = (
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+    )
+    full = CrawlDriver(spark, str(tmp_path / "full"), *args)
+    full.run(max_rounds=6)
+
+    part = CrawlDriver(spark, str(tmp_path / "part"), *args)
+    part.run(max_rounds=3)
+    # torn round 3: seen/pages/schedule appends landed, checkpoint did not
+    pinned = part.log.last()["versions"]
+    torn_seen = part.tables["seen"].read(spark, pinned["seen"]).limit(5)
+    part.tables["seen"].append(torn_seen, parent=pinned["seen"])
+    torn_pages = part.tables["pages"].read(spark, pinned["pages"]).limit(3)
+    part.tables["pages"].append(torn_pages, parent=pinned["pages"])
+    part.tables["frontier"].overwrite(
+        part.tables["frontier"].read(spark, pinned["frontier"]).limit(1)
+    )
+
+    resumed = CrawlDriver(spark, str(tmp_path / "part"), *args)
+    resumed.run(max_rounds=6, resume=True)
+    for tbl, cols in _TABLES.items():
+        a = sorted(map(tuple, full.read(tbl).select(*cols).collect()))
+        b = sorted(map(tuple, resumed.read(tbl).select(*cols).collect()))
+        assert a == b, tbl
+
+
 def test_rerun_is_idempotent_noop(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
     args = (
         smoke_dfs["corpus"],

@@ -59,6 +59,51 @@ def test_vacuum_removes_only_expired_commits(spark, tmp_path):
         assert not os.path.exists(commit)
 
 
+def test_vacuum_twice_is_idempotent(spark, tmp_path):
+    """Second vacuum must skip manifests the first one already deleted
+    (regression: FileNotFoundError on re-invocation)."""
+    t = SnapshotTable(str(tmp_path), "seen", SEEN)
+    for i in range(5):
+        t.overwrite(_rows(spark, 0, 10 + i))
+    first = t.vacuum(keep_versions=2)
+    assert len(first) == 3
+    second = t.vacuum(keep_versions=2)  # must not raise
+    assert second == []
+    t.overwrite(_rows(spark, 0, 3))
+    third = t.vacuum(keep_versions=2)  # keeps working after new writes
+    assert len(third) == 1
+    assert t.read(spark).count() == 3
+
+
+def test_append_pins_parent_version(spark, tmp_path):
+    """append(parent=) must build the manifest from the pinned parent, so
+    orphan versions written after a crash never leak into later manifests."""
+    t = SnapshotTable(str(tmp_path), "seen", SEEN)
+    v1 = t.append(_rows(spark, 0, 10))
+    # crash scenario: an uncommitted (orphan) append lands after v1
+    orphan = t.append(_rows(spark, 100, 110), parent=v1)
+    assert orphan == 2
+    # resume re-runs the round against the pinned parent v1 — the orphan's
+    # commit dir must NOT be folded in
+    v3 = t.append(_rows(spark, 100, 110), parent=v1)
+    assert v3 == 3
+    got = sorted(r[0] for r in t.read(spark, v3).select("url_hash").collect())
+    assert got == sorted(list(range(10)) + list(range(100, 110)))  # no dup 100s
+
+
+def test_read_new_returns_manifest_diff(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "seen", SEEN)
+    v1 = t.append(_rows(spark, 0, 10))
+    assert t.read_new(spark, since=v1).count() == 0
+    v2 = t.append(_rows(spark, 10, 15))
+    t.append(_rows(spark, 15, 18))
+    assert sorted(r[0] for r in t.read_new(spark, since=v1, upto=v2).collect()) == list(
+        range(10, 15)
+    )
+    assert t.read_new(spark, since=v1).count() == 8
+    assert t.read_new(spark, since=0).count() == 18
+
+
 def test_checkpoint_log_last(tmp_path):
     log = CheckpointLog(str(tmp_path))
     assert log.last() is None

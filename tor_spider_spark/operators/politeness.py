@@ -67,7 +67,7 @@ def collapse_candidates(frontier: DataFrame) -> DataFrame:
 _SMALL_ROUND = 65536
 
 
-def _global_rank(df: DataFrame, round_limit: int) -> DataFrame:
+def _global_rank(df: DataFrame, round_limit: int, persisted_out: list | None = None) -> DataFrame:
     """Total-order global rank (1-based) in the frozen W3 order.
 
     Small rounds (the reference envelope: MINIMUM_JOBS=64-scale batches)
@@ -88,12 +88,16 @@ def _global_rank(df: DataFrame, round_limit: int) -> DataFrame:
     # global rank is local index + per-partition offset — ONE exchange,
     # one local sort, no second shuffle and no window. localCheckpoint
     # pins the data so the offsets pass and the output pass agree.
-    part = (
+    pinned = (
         df.repartitionByRange(*total_order())
         .sortWithinPartitions(*total_order())
-        .persist()  # pin: offsets pass and output pass must agree; the
-        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()  # pin: offsets pass and output pass must agree; handed
+        # back via persisted_out so the driver unpersists after the round
+        # commit (was a per-round cache leak in the large-round regime)
     )
+    if persisted_out is not None:
+        persisted_out.append(pinned)
+    part = pinned.withColumn("_mid", F.monotonically_increasing_id())
     # counts job doubles as the materializing action (no extra pass —
     # an eager localCheckpoint here cost a full scan of its own)
     cnts = {
@@ -118,6 +122,7 @@ def schedule_round(
     host_state: DataFrame,
     round_no: int,
     cfg: CrawlConfig,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Steps 2 of the frozen semantics → `scheduled` with a global rank.
 
@@ -150,7 +155,7 @@ def schedule_round(
     budgeted = eligible.withColumn("_hr", F.row_number().over(host_w)).where(
         F.col("_hr") <= F.col("_budget")
     )
-    ranked = _global_rank(budgeted, cfg.round_limit)
+    ranked = _global_rank(budgeted, cfg.round_limit, persisted_out)
     return ranked.where(F.col("rank") <= cfg.round_limit).select(
         F.lit(round_no).alias("round"),
         "rank",

@@ -58,7 +58,8 @@ def run_round(
     # persist + count-as-materializing-action: an eager localCheckpoint
     # would cost a dedicated full pass per stage (see _global_rank note);
     # recompute-on-eviction is deterministic (inputs are committed files)
-    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg).persist()
+    persisted: list = []
+    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg, persisted).persist()
     n_scheduled = scheduled.count()
 
     # claim (frozen step 3; reference DeleteMany $in, mongojobsstorage.go:165-180)
@@ -110,7 +111,17 @@ def run_round(
         "caption",
         "phash",
     )
-    n_pages = fetched.count()
+    if cfg.max_body_bytes is None:
+        # no body cap: every fetched-200 row has exactly one payload row
+        # (status 200 ⇔ payload present, by corpus construction), so the
+        # cheap count needs no payload join
+        n_pages = fetched.count()
+    else:
+        # F9 active: count the STORED pages, not the fetched rows — the
+        # metrics/CrawlSummary must not overstate when the cap drops rows
+        pages = pages.persist()
+        persisted.append(pages)
+        n_pages = pages.count()
 
     # expand (frozen step 8): explode → canonicalize (Arrow UDF) → onion gate
     expandable = fetched.where(F.col("depth") + 1 <= cfg.max_depth)
@@ -150,8 +161,9 @@ def run_round(
         touched
     )
 
+    persisted.extend([scheduled, admitted, fetched, new_frontier_rows])
     return RoundResult(
-        persisted=[scheduled, admitted, fetched, new_frontier_rows],
+        persisted=persisted,
         scheduled=scheduled,
         admitted=admitted,
         new_seen=new_seen,

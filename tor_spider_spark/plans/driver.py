@@ -130,13 +130,14 @@ class CrawlDriver:
 
         last = self.log.last() if resume else None
         if last:
-            versions = last["versions"]
+            pinned = dict(last["versions"])
             start = last["round"] + 1
-            frontier = t["frontier"].read(spark, versions["frontier"])
-            seen = t["seen"].read(spark, versions["seen"])
-            host_state = t["host_state"].read(spark, versions["host_state"])
-            blooms = t["bloom_shards"].read(spark, versions["bloom_shards"])
+            frontier = t["frontier"].read(spark, pinned["frontier"])
+            seen = t["seen"].read(spark, pinned["seen"])
+            host_state = t["host_state"].read(spark, pinned["host_state"])
+            blooms = t["bloom_shards"].read(spark, pinned["bloom_shards"])
         else:
+            pinned = {name: 0 for name in _TABLES}
             start = 0
             frontier = self._seed_frontier(0, periodic_only=False)
             seen = t["seen"].read(spark, 0)
@@ -194,14 +195,22 @@ class CrawlDriver:
             # concurrent Spark jobs (threads share the SparkContext; the
             # scheduler interleaves their stages, hiding per-job latency —
             # analog of the reference's parallel Mongo/ES flush goroutines,
-            # mongojobsstorage.go:255-291 / elasticpagestorage.go:96-144)
+            # mongojobsstorage.go:255-291 / elasticpagestorage.go:96-144).
+            # Appends build on the checkpoint-PINNED parent, never on
+            # latest_version(): a kill between these writes and the commit
+            # below leaves orphan manifests, and the re-run round must not
+            # fold their commit dirs in (would duplicate rows on resume).
             jobs: dict[str, Callable[[], int]] = {
                 "frontier": lambda: t["frontier"].overwrite(frontier_next, cfg.n_buckets),
-                "seen": lambda: t["seen"].append(res.new_seen, cfg.n_buckets),
-                "pages": lambda: t["pages"].append(res.pages, cfg.n_buckets),
-                "schedule": lambda: t["schedule"].append(scheduled_projection(res.scheduled)),
+                "seen": lambda: t["seen"].append(res.new_seen, cfg.n_buckets, parent=pinned["seen"]),
+                "pages": lambda: t["pages"].append(res.pages, cfg.n_buckets, parent=pinned["pages"]),
+                "schedule": lambda: t["schedule"].append(
+                    scheduled_projection(res.scheduled), parent=pinned["schedule"]
+                ),
                 "host_state": lambda: t["host_state"].overwrite(res.host_state_next),
-                "metrics": lambda: t["metrics"].append(metrics.unionByName(globals_df)),
+                "metrics": lambda: t["metrics"].append(
+                    metrics.unionByName(globals_df), parent=pinned["metrics"]
+                ),
             }
             blooms_next = None
             if self.bloom:
@@ -221,6 +230,7 @@ class CrawlDriver:
                 versions["pages"] = t["pages"].compact(spark, cfg.n_buckets)
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions)
+            pinned = dict(versions)
 
             for df in res.persisted:  # round is committed; release cache
                 df.unpersist(False)

@@ -83,11 +83,19 @@ class SnapshotTable:
         df.write.parquet(commit)
         return commit
 
-    def append(self, df: DataFrame, n_buckets: int | None = None) -> int:
-        """New version = previous files + one new commit dir."""
+    def append(self, df: DataFrame, n_buckets: int | None = None, parent: int | None = None) -> int:
+        """New version = *parent*'s files + one new commit dir.
+
+        ``parent`` MUST be the checkpoint-pinned version when appends can
+        race a crash: versions written after the last committed checkpoint
+        are orphans (the round never committed), and building on
+        ``latest_version()`` would fold their commit dirs into the new
+        manifest — permanently duplicating rows on resume. Defaults to
+        latest for standalone (non-checkpointed) use."""
         commit = self._write_commit(df.select([f.name for f in self.schema.fields]), n_buckets)
+        base = self.latest_version() if parent is None else parent
         v = self.latest_version() + 1
-        self._write_manifest(v, self._read_manifest(v - 1) + [commit])
+        self._write_manifest(v, self._read_manifest(base) + [commit])
         return v
 
     def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> int:
@@ -97,6 +105,17 @@ class SnapshotTable:
         v = self.latest_version() + 1
         self._write_manifest(v, [commit])
         return v
+
+    def read_new(self, spark: SparkSession, since: int, upto: int | None = None) -> DataFrame:
+        """Rows appended after version *since*, up to *upto* (default
+        latest): the manifest-file diff — incremental-scan analog of
+        Iceberg's changelog read, used to drain the seed inbox."""
+        v = self.latest_version() if upto is None else upto
+        base = set(self._read_manifest(since)) if since > 0 else set()
+        fresh = [f for f in self._read_manifest(v) if f not in base]
+        if not fresh:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*fresh)
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots analogs) --
     def compact(self, spark: SparkSession, n_buckets: int | None = None) -> int:
@@ -117,9 +136,14 @@ class SnapshotTable:
         keep_cut = max(latest - keep_versions + 1, 1)
         live: set[str] = set()
         for v in range(keep_cut, latest + 1):
-            live.update(self._read_manifest(v))
+            if os.path.exists(self._manifest_path(v)):
+                live.update(self._read_manifest(v))
         removed = []
         for v in range(1, keep_cut):
+            # earlier vacuums already deleted their manifests — skip, so a
+            # second vacuum of the same table is a no-op, not a crash
+            if not os.path.exists(self._manifest_path(v)):
+                continue
             for commit in self._read_manifest(v):
                 if commit not in live and os.path.isdir(commit):
                     shutil.rmtree(commit, ignore_errors=True)
