@@ -21,6 +21,11 @@ ONION_URL_PATTERN = (
 # Reference .env defaults (reference .env:13-19).
 DEFAULT_HOST_BUDGET = 8  # SPIDER_PARALLELISM=8 re-imagined per-host (north rule)
 DEFAULT_MAX_DEPTH = 9  # SPIDER_DEPTH=3 layers/job × every-3rd-layer frontier (SURVEY §3.4)
+# The seed mini-crawl's traversal window: the seed collector follows EVERY
+# link (clearnet included) to colly MaxDepth=SPIDER_DEPTH=3, enqueueing the
+# onion URLs it finds (reference spider/spider.go:344-354, .env:19). Clearnet
+# traversal rows exist only within this window.
+DEFAULT_SEED_TRAVERSAL_DEPTH = 3
 DEFAULT_ROUND_LIMIT = 2048  # MINIMUM_JOBS=64 batch × 32 workers, scaled to batch rounds
 DEFAULT_N_BUCKETS = 16  # bucket(B, host_hash) partitioning; B=4096 at 10^10-URL scale
 
@@ -36,6 +41,7 @@ class CrawlConfig:
     """Knobs for one crawl run. Defaults mirror the reference envelope."""
 
     max_depth: int = DEFAULT_MAX_DEPTH
+    seed_traversal_depth: int = DEFAULT_SEED_TRAVERSAL_DEPTH
     default_host_budget: int = DEFAULT_HOST_BUDGET
     round_limit: int = DEFAULT_ROUND_LIMIT
     n_buckets: int = DEFAULT_N_BUCKETS
@@ -65,8 +71,17 @@ class CrawlConfig:
 # Frozen round semantics (documentation of record — SURVEY §2.8 determinism
 # note). Implemented twice, tested for equality:
 #
+#  0. is_seed marks SEED-LINEAGE TRAVERSAL rows — the flattened analog of
+#     the reference's seed mini-crawl (seed collector: no URL filter, no
+#     blacklist filter, AllowURLRevisit, private in-memory visited store,
+#     follows EVERY link, enqueues onion URLs, saves NO pages;
+#     spider/spider.go:161-196, 344-354). Seed-lineage continues through
+#     CLEARNET children (is_seed=True); onion children become normal jobs
+#     (is_seed=False) — the one deliberate flattening: an onion hop inside
+#     the mini-crawl window re-enters via the frontier rather than inline,
+#     so its clearnet grandchildren are not traversed (documented gap).
 #  1. candidates = frontier, collapsed per url to (min depth → max priority,
-#     min discovered_round).
+#     min discovered_round); is_seed = OR.
 #  2. politeness: host eligible iff round - last_fetch_round(host) >
 #     crawl_delay_rounds(host) (delay_rounds = crawl_delay_ms // 1000;
 #     unfetched hosts always eligible). Budget(host) = robots.max_per_round
@@ -77,25 +92,36 @@ class CrawlConfig:
 #  3. claim: remove every frontier row whose url is scheduled (anti-join;
 #     reference DeleteMany $in, mongojobsstorage.go:165-180).
 #  4. admission, in the reference's filter order (spider/spider.go:103-153):
-#     blacklist regex (search) → onion URL filter (seeds exempt;
-#     spider.go:167 seed collector has no URL filter) → robots disallow
-#     prefix (north-rule inversion of spider.go:112) → seen (url_hash in
-#     seen) with seeds exempt (AllowURLRevisit).
-#  5. mark seen: every ADMITTED url (dedup-on-attempt — colly marks visited
-#     at request time, before the fetch completes; failed fetches stay
-#     seen). Filtered-out rows are NOT marked.
+#     blacklist regex (search; SEED-LINEAGE EXEMPT — the seed collector has
+#     no DisallowedURLFilters, spider.go:161-167) → onion URL filter
+#     (seed-lineage exempt) → robots disallow prefix (north-rule inversion
+#     of spider.go:112; applies to ALL rows) → seen (url_hash in seen) with
+#     seed-lineage exempt (AllowURLRevisit + private visited store).
+#  5. mark seen: every ADMITTED *onion* url (dedup-on-attempt — colly marks
+#     visited at request time, before the fetch completes; failed fetches
+#     stay seen). Clearnet traversal rows NEVER enter seen (the seed
+#     collector does not share the global visited store). Filtered-out
+#     rows are NOT marked.
 #  6. fetch = equi-join corpus on url. Missing url or status != 200 →
 #     OnError (dropped: no page, no links; spider.go:337-339). Every
 #     admitted row updates last_fetch_round(host) = round.
-#  7. pages append for status == 200.
+#  7. pages append for status == 200 AND onion url only (the seed collector
+#     saves no pages, spider.go:344-360; clearnet bodies are never stored).
 #  8. expand: explode out_links of fetched-200 → canonicalize(base, href)
-#     (urljoin, strip fragment; empty/non-http dropped) → keep onion urls
-#     only (SaveJob gate, spider.go:300-301) → depth = parent+1, drop if
-#     > max_depth → priority = priority_for_depth(depth).
-#  9. intra-round distinct by url (min depth wins).
+#     (urljoin, strip fragment; empty/non-http dropped) → child gates:
+#       onion child: keep if depth+1 <= max_depth → is_seed=False
+#         (SaveJob gate, spider.go:300-301, 348-351);
+#       clearnet child: keep iff PARENT is seed-lineage and depth+1 <=
+#         seed_traversal_depth → is_seed=True (mini-crawl traversal,
+#         spider.go:353 e.Request.Visit on every link);
+#     priority = priority_for_depth(depth).
+#  9. intra-round distinct by url (min depth wins; is_seed is a function
+#     of the url's onion-ness so it cannot conflict).
 # 10. frontier admission: discovered anti-join seen → append. (Duplicates
 #     vs remaining frontier are tolerated, as the reference tolerates dup
-#     Mongo jobs — collapsed at step 1.)
+#     Mongo jobs — collapsed at step 1. Clearnet rows are never in seen,
+#     so a clearnet cycle re-enqueues until the depth window closes —
+#     exactly AllowURLRevisit's behavior, bounded by seed_traversal_depth.)
 # 11. periodic seeds: seed rows with recrawl_every k > 0 are re-appended
 #     every round r where r % k == 0, r > 0 (spider.go:472-490).
 # 12. commit round atomically; stop when frontier empty or max_rounds.

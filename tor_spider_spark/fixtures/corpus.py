@@ -40,6 +40,10 @@ class FixtureKnobs:
     hub_factor: int = 50
     image_px: int = 32
     n_clearnet_hosts: int = 2
+    # onion hosts linked ONLY from clearnet pages: reachable exclusively
+    # through the seed mini-crawl's clearnet traversal (frozen step 8;
+    # reference spider/spider.go:353 follows every link)
+    n_hidden_onion_hosts: int = 2
     seed: int = 42
     with_images: bool = True
 
@@ -51,6 +55,8 @@ class Fixture:
     blacklist: list[str]
     robots: list[dict]
     knobs: FixtureKnobs = field(default_factory=FixtureKnobs)
+    # onion hosts reachable only through clearnet intermediates (test hook)
+    hidden_hosts: list[str] = field(default_factory=list)
 
 
 def _host_label(rng: np.random.Generator, long_form: bool) -> str:
@@ -100,6 +106,15 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
     robots_host = hosts[1 % len(hosts)]  # has /private disallow
     delay_host = hosts[2 % len(hosts)]  # has crawl_delay
     clearnet = [f"example{i}.com" for i in range(k.n_clearnet_hosts)]
+    # hidden onion hosts: never in the link-target pool; wired in only via
+    # the clearnet chain below (drawn AFTER the main labels so existing
+    # rng consumption — and thus the rest of the fixture — is unchanged)
+    hidden: list[str] = []
+    while len(hidden) < k.n_hidden_onion_hosts:
+        lab = _host_label(rng, long_form=(len(hidden) % 2 == 1))
+        if lab not in seen_labels:
+            seen_labels.add(lab)
+            hidden.append(lab + ".onion")
 
     pages_of: dict[str, int] = {}
     for h in hosts:
@@ -109,6 +124,8 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
         pages_of[h] = n
     for c in clearnet:
         pages_of[c] = 3
+    for h in hidden:
+        pages_of[h] = 2
 
     # Zipf-ish link-target pool: hubs massively over-represented (in-degree skew)
     target_pool: list[str] = []
@@ -122,7 +139,7 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
         return f"{scheme}://{host}{path}"
 
     corpus: list[dict] = []
-    for host in hosts + clearnet:
+    for host in hosts + hidden + clearnet:
         n_pages = pages_of[host]
         hrng = np.random.default_rng(xxh64_unsigned("host:" + host) ^ k.seed)
         for i in range(n_pages):
@@ -130,7 +147,10 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
             u = xxh64_unsigned(url)
             status = 200
             r = u % 100
-            if r >= 94:
+            if r >= 94 and host not in clearnet:
+                # clearnet pages are traversal scaffolding — always 200 so
+                # the seed mini-crawl chain cannot be severed by a synthetic
+                # error page
                 status = 404 if r % 2 == 0 else 500
             out_links: list[str] = []
             n_links = int(3 + hrng.integers(0, 6))
@@ -183,6 +203,21 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
                     )
             corpus.append(row)
 
+    # clearnet chain to the hidden onion hosts (judge case: an onion URL
+    # reachable ONLY through clearnet intermediates within the mini-crawl
+    # window): seed=cl0/p0 (d0) → p1 (d1) → hidden[0] (d2) and
+    # p1 → p2 (d2) → hidden[1] (d3 — exactly the window boundary)
+    if hidden and clearnet:
+        by_url = {r["url"]: r for r in corpus}
+        cl0 = [page_url(clearnet[0], i) for i in range(3)]
+        by_url[cl0[0]]["out_links"] = by_url[cl0[0]]["out_links"] + ["p1"]
+        hops = [page_url(hidden[0], 0), "p2"]
+        by_url[cl0[1]]["out_links"] = by_url[cl0[1]]["out_links"] + hops
+        if len(hidden) > 1:
+            by_url[cl0[2]]["out_links"] = by_url[cl0[2]]["out_links"] + [
+                page_url(hidden[1], 0)
+            ]
+
     seeds = [
         {"url": page_url(hubs[0], 0), "is_seed": True, "recrawl_every": 0},
         {"url": page_url(hosts[3 % len(hosts)], 0), "is_seed": True, "recrawl_every": 0},
@@ -195,7 +230,14 @@ def generate_fixture(knobs: FixtureKnobs | None = None, caption_words: list[str]
         {"host": delay_host, "disallow_prefixes": [], "crawl_delay_ms": 2000, "max_per_round": None},
         {"host": hubs[0], "disallow_prefixes": [], "crawl_delay_ms": 0, "max_per_round": 4},
     ]
-    return Fixture(corpus=corpus, seeds=seeds, blacklist=blacklist, robots=robots, knobs=k)
+    return Fixture(
+        corpus=corpus,
+        seeds=seeds,
+        blacklist=blacklist,
+        robots=robots,
+        knobs=k,
+        hidden_hosts=hidden,
+    )
 
 
 SMOKE = FixtureKnobs(n_onion_hosts=20, pages_per_host=5, hub_hosts=1, hub_factor=50, image_px=32)

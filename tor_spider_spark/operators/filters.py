@@ -28,8 +28,11 @@ def admit(
     blacklist_patterns: list[str],
     bloom_probe=None,
 ) -> DataFrame:
-    """Frozen step 4: scheduled → admitted."""
-    s = scheduled.where(~blacklist_pred(F.col("url"), blacklist_patterns))
+    """Frozen step 4: scheduled → admitted. Seed-lineage rows skip the
+    blacklist and the onion URL filter (the reference's seed collector has
+    neither DisallowedURLFilters nor URLFilters, spider/spider.go:161-167);
+    robots (north-rule addition) applies to every row."""
+    s = scheduled.where(F.col("is_seed") | ~blacklist_pred(F.col("url"), blacklist_patterns))
     s = s.where(F.col("is_seed") | onion_url_col(F.col("url")))
     s = (
         s.join(F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")

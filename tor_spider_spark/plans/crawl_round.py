@@ -68,9 +68,13 @@ def run_round(
     admitted = admit(scheduled, robots, seen, blacklist_patterns, bloom_probe).persist()
     n_admitted = admitted.count()
 
-    # mark seen on attempt (frozen step 5); seeds may already be present
+    # mark seen on attempt (frozen step 5) — ONION urls only: clearnet
+    # traversal rows never touch the shared visited store (the seed
+    # collector has its own, spider/spider.go:161-167 vs :153); onion
+    # seeds may already be present, hence the anti-join
     new_seen = (
-        admitted.select("url_hash", "host_hash")
+        admitted.where(onion_url_col(F.col("url")))
+        .select("url_hash", "host_hash")
         .join(seen.select("url_hash"), "url_hash", "left_anti")
         .withColumn("first_round", F.lit(round_no))
     )
@@ -86,9 +90,13 @@ def run_round(
     )
     fetched = fetch.where(F.col("_status") == 200).persist()
 
-    # pages: payload join only for fetched rows (column pruning discipline)
-    pages = fetched.select("url", "url_hash", "host", "host_hash", "depth").join(
-        corpus_payload, "url", "inner"
+    # pages: payload join only for fetched ONION rows (frozen step 7: the
+    # seed collector saves no pages, spider/spider.go:344-360 — clearnet
+    # bodies are never stored; column pruning discipline unchanged)
+    pages = (
+        fetched.where(onion_url_col(F.col("url")))
+        .select("url", "url_hash", "host", "host_hash", "depth")
+        .join(corpus_payload, "url", "inner")
     )
     if cfg.max_body_bytes is not None:
         # F9 body-size cap (reference ships it disabled, spider.go:124,170):
@@ -112,10 +120,10 @@ def run_round(
         "phash",
     )
     if cfg.max_body_bytes is None:
-        # no body cap: every fetched-200 row has exactly one payload row
-        # (status 200 ⇔ payload present, by corpus construction), so the
-        # cheap count needs no payload join
-        n_pages = fetched.count()
+        # no body cap: every fetched-200 onion row has exactly one payload
+        # row (status 200 ⇔ payload present, by corpus construction), so
+        # the cheap count (off the cached `fetched`) needs no payload join
+        n_pages = fetched.where(onion_url_col(F.col("url"))).count()
     else:
         # F9 active: count the STORED pages, not the fetched rows — the
         # metrics/CrawlSummary must not overstate when the cap drops rows
@@ -123,16 +131,34 @@ def run_round(
         persisted.append(pages)
         n_pages = pages.count()
 
-    # expand (frozen step 8): explode → canonicalize (Arrow UDF) → onion gate
-    expandable = fetched.where(F.col("depth") + 1 <= cfg.max_depth)
+    # expand (frozen step 8): explode → canonicalize (Arrow UDF) → child
+    # gates: onion children are normal jobs within max_depth; clearnet
+    # children continue SEED-LINEAGE traversal within seed_traversal_depth
+    # (the seed collector follows every link, spider/spider.go:353)
+    expandable = fetched.where(
+        (F.col("depth") + 1 <= cfg.max_depth)
+        | (F.col("is_seed") & (F.col("depth") + 1 <= cfg.seed_traversal_depth))
+    )
+    child_onion = onion_url_col(F.col("url"))
     discovered = (
         expandable.select(
             F.col("url").alias("_base"),
             F.col("depth").alias("_pdepth"),
+            F.col("is_seed").alias("_pseed"),
             F.explode("_out_links").alias("_href"),
         )
         .withColumn("url", canonicalize_urls(F.col("_base"), F.col("_href")))
-        .where(F.col("url").isNotNull() & onion_url_col(F.col("url")))
+        .where(
+            F.col("url").isNotNull()
+            & (
+                (child_onion & (F.col("_pdepth") + 1 <= cfg.max_depth))
+                | (
+                    ~child_onion
+                    & F.col("_pseed")
+                    & (F.col("_pdepth") + 1 <= cfg.seed_traversal_depth)
+                )
+            )
+        )
         .groupBy("url")
         .agg((F.min("_pdepth") + 1).alias("depth"))  # frozen step 9: min depth wins
         .select(
@@ -140,7 +166,8 @@ def run_round(
             F.col("depth").cast("int").alias("depth"),
             (F.lit(1.0) / (1.0 + F.col("depth"))).alias("priority"),
             F.lit(round_no + 1).alias("discovered_round"),
-            F.lit(False).alias("is_seed"),
+            # is_seed is a pure function of the url's onion-ness (step 9)
+            (~child_onion).alias("is_seed"),
         )
     )
     discovered = with_url_identity(discovered)

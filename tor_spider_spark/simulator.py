@@ -5,13 +5,18 @@ the reference as frozen in tor_spider_spark/config.py:
 
 - filter order blacklist → onion-URL filter → robots → visited, matching
   colly's request pipeline (reference spider/spider.go:103-153);
-- dedup-on-attempt: a URL is "seen" once the request is admitted, before
-  the fetch outcome is known (colly redis storage semantics behind
+- dedup-on-attempt: an ONION URL is "seen" once the request is admitted,
+  before the fetch outcome is known (colly redis storage semantics behind
   spider/spider.go:153) — failed fetches are never retried;
-- seeds bypass the URL filter and the visited check
-  (AllowURLRevisit + filterless seed collector, spider/spider.go:162-167);
+- seed-lineage rows bypass the blacklist, the URL filter and the visited
+  check (AllowURLRevisit + filterless seed collector, spider.go:161-196),
+  traverse EVERY link — clearnet included — within seed_traversal_depth,
+  and save no pages (the seed collector has no page-saving OnResponse,
+  spider.go:344-360); only onion URLs enter seen/pages/normal-frontier;
 - errors are dropped, not stored (OnError only logs, spider/spider.go:337-339);
-- links enqueue only if onion (SaveJob gate, spider/spider.go:300-301);
+- links enqueue only if onion (SaveJob gate, spider/spider.go:300-301),
+  except clearnet children of seed-lineage parents, which continue the
+  traversal (spider.go:353);
 - per-host politeness budget + crawl-delay + global round cap re-imagine
   colly.LimitRule{Parallelism:8} / MINIMUM_JOBS=64 (spider/spider.go:148-151,
   mongojobsstorage.go:241-246) as the north rule's priority queue.
@@ -151,11 +156,12 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
         scheduled_urls = {r["url"] for r in scheduled}
         frontier = [r for r in frontier if r["url"] not in scheduled_urls]
 
-        # (4) admission filters, reference order
+        # (4) admission filters, reference order (seed-lineage rows skip
+        # blacklist + URL filter + seen: the seed collector has none)
         admitted = []
         for row in scheduled:
             u = row["url"]
-            if any(p.search(u) for p in blacklist):
+            if not row["is_seed"] and any(p.search(u) for p in blacklist):
                 continue
             if not row["is_seed"] and not _ONION_RE.match(u):
                 continue
@@ -166,11 +172,14 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
                 continue
             admitted.append(row)
 
-        # (5) mark seen on attempt
+        # (5) mark seen on attempt — onion urls only (clearnet traversal
+        # never touches the shared visited store)
         for row in admitted:
-            res.seen.setdefault(row["url"], rnd)
+            if _ONION_RE.match(row["url"]):
+                res.seen.setdefault(row["url"], rnd)
 
-        # (6)+(7) fetch + pages
+        # (6)+(7) fetch + pages (pages for onion 200s only — the seed
+        # collector saves no pages; clearnet bodies are never stored)
         discovered: dict[str, dict] = {}
         for row in admitted:
             last_fetch_round[row["_host"]] = rnd
@@ -178,26 +187,34 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
             if page is None or page["status"] != 200:
                 continue  # OnError: dropped
             blob = page.get("bytes")
-            if cfg.max_body_bytes is not None and blob is not None and len(blob) > cfg.max_body_bytes:
-                pass  # F9: body too large -> not stored (links still expand)
-            else:
+            too_big = (
+                cfg.max_body_bytes is not None
+                and blob is not None
+                and len(blob) > cfg.max_body_bytes
+            )
+            if _ONION_RE.match(row["url"]) and not too_big:
                 res.pages.append(
                     {
                         "url": row["url"],
-                    "round": rnd,
-                    "image_id": page["image_id"],
-                    "caption": page["caption"],
+                        "round": rnd,
+                        "image_id": page["image_id"],
+                        "caption": page["caption"],
                         "phash": page["phash"],
                         "status": page["status"],
                     }
                 )
-            # (8) expand
+            # (8) expand: onion children → normal jobs (SaveJob gate);
+            # clearnet children of seed-lineage parents → traversal rows
             child_depth = row["depth"] + 1
-            if child_depth > cfg.max_depth:
-                continue
             for href in page["out_links"]:
                 cu = canonicalize(row["url"], href)
-                if cu is None or not _ONION_RE.match(cu):
+                if cu is None:
+                    continue
+                child_onion = bool(_ONION_RE.match(cu))
+                if child_onion:
+                    if child_depth > cfg.max_depth:
+                        continue
+                elif not (row["is_seed"] and child_depth <= cfg.seed_traversal_depth):
                     continue
                 cur = discovered.get(cu)
                 if cur is None or child_depth < cur["depth"]:
@@ -206,7 +223,7 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
                         "depth": child_depth,
                         "priority": priority_for_depth(child_depth),
                         "discovered_round": rnd + 1,
-                        "is_seed": False,
+                        "is_seed": not child_onion,
                     }
 
         # (10) frontier admission: anti-join seen
