@@ -38,6 +38,9 @@ _TABLES = {
     "host_state": schemas.HOST_STATE,
     "bloom_shards": schemas.BLOOM_SHARDS,
     "metrics": schemas.METRICS,
+    # streamed seed events (streaming/seed_stream.py writes, the round loop
+    # drains; the checkpoint pins the consumed version)
+    "seed_inbox": schemas.SEED_INBOX,
 }
 
 
@@ -108,7 +111,11 @@ class CrawlDriver:
         )
 
     def _seed_frontier(self, round_no: int, periodic_only: bool) -> DataFrame:
-        s = self.seeds
+        return self._frontier_rows(self.seeds, round_no, periodic_only)
+
+    def _frontier_rows(self, seeds_df: DataFrame, round_no: int, periodic_only: bool) -> DataFrame:
+        """Seed events (url, recrawl_every) → seed-lineage frontier rows."""
+        s = seeds_df
         if periodic_only:
             s = s.where((F.col("recrawl_every") > 0) & (F.lit(round_no) % F.col("recrawl_every") == 0))
         return with_url_identity(s.select("url")).select(
@@ -131,6 +138,8 @@ class CrawlDriver:
         last = self.log.last() if resume else None
         if last:
             pinned = dict(last["versions"])
+            for name in _TABLES:  # checkpoints written before a table existed
+                pinned.setdefault(name, 0)
             start = last["round"] + 1
             frontier = t["frontier"].read(spark, pinned["frontier"])
             seen = t["seen"].read(spark, pinned["seen"])
@@ -147,6 +156,15 @@ class CrawlDriver:
         summary = CrawlSummary()
         seen_count = seen.count() if self.bloom else 0
         for rnd in range(start, max_rounds):
+            # drain the streamed seed inbox (S1/S2): versions newer than the
+            # checkpoint-consumed one inject as one-shot seed rows THIS
+            # round; periodic inbox rows re-enqueue below like static seeds
+            inbox_v = t["seed_inbox"].latest_version()
+            if inbox_v > pinned["seed_inbox"]:
+                fresh = t["seed_inbox"].read_new(spark, pinned["seed_inbox"], inbox_v)
+                frontier = frontier.unionByName(
+                    self._frontier_rows(fresh, rnd, periodic_only=False)
+                )
             if frontier.isEmpty():
                 break
             # adaptive probe: bloom short-circuit only once `seen` is big
@@ -171,6 +189,13 @@ class CrawlDriver:
             frontier_next = res.frontier_next.unionByName(
                 self._seed_frontier(rnd + 1, periodic_only=True)
             )
+            if inbox_v > 0:
+                # streamed periodic seeds follow the same recrawl rule
+                frontier_next = frontier_next.unionByName(
+                    self._frontier_rows(
+                        t["seed_inbox"].read(spark, inbox_v), rnd + 1, periodic_only=True
+                    )
+                )
 
             # per-partition lineage metrics (north rule)
             metrics = res.scheduled.groupBy(
@@ -223,6 +248,9 @@ class CrawlDriver:
                 blooms = blooms_next
             else:
                 versions["bloom_shards"] = t["bloom_shards"].latest_version()
+            # record the consumed inbox version (the round's seed injections
+            # are reproducible from it on resume)
+            versions["seed_inbox"] = inbox_v
             if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
                 # bound small-file growth on the append-only tables; the
                 # compacted version is what the checkpoint pins

@@ -45,6 +45,11 @@ SEEDS = _s(
     ("recrawl_every", IntegerType()),
 )
 
+SEED_INBOX = _s(  # streamed seed events (S1/S2), drained by the driver
+    ("url", StringType()),
+    ("recrawl_every", IntegerType()),
+)
+
 ROBOTS = _s(
     ("host", StringType()),
     ("disallow_prefixes", ArrayType(StringType())),
