@@ -54,7 +54,11 @@ class CrawlConfig:
     # shards are still MAINTAINED every round (cheap, incremental — they
     # must exist for resume and for the moment seen crosses the line) but
     # probing is skipped and the exact anti-join runs alone.
-    bloom_min_seen: int = 5_000_000
+    # Threshold set at the measured local[32] crossover (bench.py
+    # bench_bloom_scale, 2026-08: exact wins 0.82x at 6M seen, bloom wins
+    # 1.4x at 40M; RAM-backed local shuffle flatters the exact path, so a
+    # real cluster with network shuffle crosses earlier).
+    bloom_min_seen: int = 20_000_000
     # F9: max stored payload size; the reference ships this disabled
     # (c.MaxBodySize commented out, spider/spider.go:124,170) — None = off.
     # When set, oversized pages are dropped from the pages sink but their

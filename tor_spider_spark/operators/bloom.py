@@ -32,7 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StructField
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
 
 from ..schemas import BLOOM_SHARDS
 
@@ -105,36 +106,51 @@ class BloomShards:
     def probe(self, shards: DataFrame):
         """Returns fn(candidates) -> candidates + boolean `_bloom_maybe`.
 
-        cogroup by shard_id: each task holds one bitset and its candidate
-        slice — distributed, broadcast-free (scales to thousands of
-        shards; SURVEY §4.3.1)."""
-        m_bits, k = self.m_bits, self.k
+        SHUFFLE-FREE design (replaces the round-1 cogroup probe, which
+        repartitioned every candidate row by shard and round-tripped full
+        rows through Python — measured 1.5-3.8× slower than the exact
+        anti-join it was meant to short-circuit): the shard bitsets are
+        collected once (bounded: n_shards rows = the bloom's total byte
+        size, metadata-scale like the politeness offsets pass) and
+        broadcast to executors; candidates are tested in place by a
+        SCALAR Arrow-batched pandas UDF over only the (url_hash,
+        host_hash) long columns. No exchange, no full-row Arrow transfer
+        — the row stays JVM-side and only two int64 columns + one bool
+        cross the boundary.
+
+        Size envelope: at 10 bits/key the broadcast is ~125 MB per 10^8
+        seen URLs — fine to ~10^9. At the full 10^10 target the bloom is
+        ~12 GB no matter how it is structured; there the deployment path
+        is partition-aligned probing (shards and candidates share the
+        pmod(host_hash) bucketing, so an Iceberg storage-partitioned
+        join holds each task's single shard local — same probe math,
+        broadcast replaced by co-location)."""
+        m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
+        rows = shards.select("shard_id", "bits").collect()
+        table = {
+            int(r["shard_id"]): np.frombuffer(r["bits"], dtype=np.uint8)
+            for r in rows
+            if r["bits"] is not None
+        }
+        b_table = shards.sparkSession.sparkContext.broadcast(table)
+
+        @pandas_udf(BooleanType())
+        def _maybe(url_hash: pd.Series, host_hash: pd.Series) -> pd.Series:
+            tbl = b_table.value
+            uh = url_hash.to_numpy(np.int64)
+            sh = np.mod(host_hash.to_numpy(np.int64), n_shards)  # == Spark pmod
+            out = np.zeros(len(uh), dtype=bool)
+            for s in np.unique(sh):
+                bits = tbl.get(int(s))
+                if bits is None:
+                    continue
+                m = sh == s
+                out[m] = _test_bits(bits, _positions(uh[m], k, m_bits))
+            return pd.Series(out)
 
         def apply(candidates: DataFrame) -> DataFrame:
-            cols = candidates.schema.fieldNames()
-            out_schema = candidates.schema.add(StructField("_bloom_maybe", BooleanType()))
-            with_shard = candidates.withColumn(
-                "_shard_id", shard_col(F.col("host_hash"), self.n_shards)
-            )
-
-            def probe_fn(key, cand: pd.DataFrame, old: pd.DataFrame):
-                if not len(cand):
-                    return pd.DataFrame(columns=cols + ["_bloom_maybe"])
-                if len(old) and old["bits"].iloc[0] is not None:
-                    bits = np.frombuffer(old["bits"].iloc[0], dtype=np.uint8)
-                    maybe = _test_bits(
-                        bits, _positions(cand["url_hash"].to_numpy(np.int64), k, m_bits)
-                    )
-                else:
-                    maybe = np.zeros(len(cand), dtype=bool)
-                out = cand[cols].copy()
-                out["_bloom_maybe"] = maybe
-                return out
-
-            return (
-                with_shard.groupBy("_shard_id")
-                .cogroup(shards.groupBy("shard_id"))
-                .applyInPandas(probe_fn, schema=out_schema)
+            return candidates.withColumn(
+                "_bloom_maybe", _maybe(F.col("url_hash"), F.col("host_hash"))
             )
 
         return apply

@@ -52,11 +52,25 @@ def admit(
     # sides join without an exchange (storage-partitioned join at scale)
     seen_keys = seen.select("url_hash", "host_hash")
     if bloom_probe is not None:
-        # bloom short-circuit: definite-negatives skip the exact anti-join
-        nonseeds = bloom_probe(nonseeds)
-        maybe = nonseeds.where(F.col("_bloom_maybe")).drop("_bloom_maybe")
-        fresh = nonseeds.where(~F.col("_bloom_maybe")).drop("_bloom_maybe")
-        deduped = maybe.join(seen_keys, ["url_hash", "host_hash"], "left_anti").unionByName(fresh)
+        # bloom short-circuit: definite-negatives skip the exact check
+        # entirely, and the residual verification of the maybe-set runs
+        # SHUFFLE-FREE: the maybe keys (bounded by round_limit — a round's
+        # scheduled batch, thousands not millions) broadcast into ONE
+        # streaming semi-scan of `seen`, and the surviving dup keys
+        # broadcast back into an anti-join. Neither `seen` nor the
+        # candidates are ever exchanged — the exact path shuffles both.
+        probed = bloom_probe(nonseeds)
+        maybe_keys = probed.where(F.col("_bloom_maybe")).select("url_hash", "host_hash")
+        dup_keys = seen_keys.join(
+            F.broadcast(maybe_keys), ["url_hash", "host_hash"], "left_semi"
+        )
+        # anti-join the WHOLE probed set (not a maybe/fresh union — that
+        # would evaluate the probe once per branch): fresh rows are
+        # bloom-negative ⇒ not in seen ⇒ never in dup_keys, so one
+        # broadcast anti-join handles both cases
+        deduped = probed.drop("_bloom_maybe").join(
+            F.broadcast(dup_keys), ["url_hash", "host_hash"], "left_anti"
+        )
     else:
         deduped = nonseeds.join(seen_keys, ["url_hash", "host_hash"], "left_anti")
     return seeds.unionByName(deduped)
