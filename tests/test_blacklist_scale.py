@@ -1,0 +1,105 @@
+"""J5 blacklist scale path: above _MAX_RLIKE_PATTERNS the host-block
+patterns apply via a broadcast anti-join on host instead of an rlike-OR
+expression tree — admitted sets must be identical to the regex semantics
+(checked against a pure-Python re.search oracle)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tor_spider_spark import schemas
+from tor_spider_spark.operators.filters import _MAX_RLIKE_PATTERNS, admit, split_blacklist
+
+
+def test_split_blacklist_classifies_reference_forms():
+    hosts, regexes = split_blacklist(
+        [
+            ".*facebookcorewwwi.onion.*",
+            ".*zqktlwiuavvvqqt4ybvgvi7tyo4hjl5xgfuvpdf6otjiycgwqbym2qad.onion.*",
+            "^https?://evil",  # true regex → residual
+            ".*bad[0-9]+.onion.*",  # char class → residual
+        ]
+    )
+    assert hosts == [
+        "facebookcorewwwi.onion",
+        "zqktlwiuavvvqqt4ybvgvi7tyo4hjl5xgfuvpdf6otjiycgwqbym2qad.onion",
+    ]
+    assert regexes == ["^https?://evil", ".*bad[0-9]+.onion.*"]
+
+
+def _candidates(spark, n=2000):
+    base = (
+        spark.range(n)
+        .withColumn(
+            "host",
+            F.concat(
+                # translate 0/1/8/9 out of the conv digits: every host must
+                # pass the onion URL filter ([a-z2-7]) or the oracle would
+                # need to model F1 too
+                F.translate(
+                    F.lower(
+                        F.lpad(F.conv(F.pmod("id", F.lit(500)).cast("string"), 10, 32), 16, "a")
+                    ),
+                    "0189",
+                    "qrst",
+                ),
+                F.lit(".onion"),
+            ),
+        )
+        .withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.lit("/p"), F.col("id")))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host_hash", F.xxhash64("host"))
+        .withColumn("depth", F.lit(1))
+        .withColumn("priority", F.lit(0.5))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("is_seed", F.pmod("id", F.lit(97)) == 0)  # a few seed rows
+        .withColumn("rank", F.col("id").cast("int"))
+        .withColumn("round", F.lit(0))
+    )
+    return base.select("round", "rank", *[f.name for f in schemas.FRONTIER.fields])
+
+
+def test_large_blacklist_anti_join_matches_regex_semantics(spark):
+    cand = _candidates(spark).localCheckpoint()
+    hosts_in_play = sorted({r["host"] for r in cand.select("host").distinct().collect()})
+    # 10k-row blacklist: every other in-play host + thousands of absent ones
+    blocked_real = hosts_in_play[::2]
+    patterns = [f".*{h}.*" for h in blocked_real]
+    patterns += [f".*{('b'*10)}{i:06d}.onion.*" for i in range(10_000 - len(patterns))]
+    assert len(patterns) == 10_000 > _MAX_RLIKE_PATTERNS
+
+    robots = spark.createDataFrame([], schemas.ROBOTS)
+    seen = spark.createDataFrame([], schemas.SEEN)
+    got = sorted(
+        r["url"] for r in admit(cand, robots, seen, patterns, None).select("url").collect()
+    )
+
+    # oracle: reference regex semantics in pure Python (seeds exempt)
+    pats = [re.compile(p) for p in patterns]
+    rows = cand.select("url", "is_seed").collect()
+    expect = sorted(
+        r["url"] for r in rows if r["is_seed"] or not any(p.search(r["url"]) for p in pats)
+    )
+    assert got == expect
+    assert 0 < len(got) < cand.count()  # the join actually dropped rows
+
+
+def test_small_blacklist_still_uses_rlike_path(spark, smoke_fixture):
+    # the reference's own 4-pattern shape stays on the codegen rlike path
+    # and matches the same Python oracle
+    cand = _candidates(spark, 500).localCheckpoint()
+    hosts_in_play = sorted({r["host"] for r in cand.select("host").distinct().collect()})
+    patterns = [f".*{h}.*" for h in hosts_in_play[:3]]
+    robots = spark.createDataFrame([], schemas.ROBOTS)
+    seen = spark.createDataFrame([], schemas.SEEN)
+    got = sorted(
+        r["url"] for r in admit(cand, robots, seen, patterns, None).select("url").collect()
+    )
+    pats = [re.compile(p) for p in patterns]
+    rows = cand.select("url", "is_seed").collect()
+    expect = sorted(
+        r["url"] for r in rows if r["is_seed"] or not any(p.search(r["url"]) for p in pats)
+    )
+    assert got == expect

@@ -15,10 +15,36 @@ go through the exact anti-join, so false positives never drop a URL.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.urls import blacklist_pred, onion_url_col, path_col
+
+# J5 scale path (SURVEY §2.3): every reference blacklist entry is a
+# host-block written as an unanchored regex (".*<host>.*", reference
+# blacklist.txt:1-4). Above this pattern count the rlike-OR expression
+# tree stops being sensible; host-block patterns are extracted into a
+# broadcast DataFrame and applied as one left_anti-shaped join instead.
+_HOST_BLOCK_RE = re.compile(r"^\.\*([A-Za-z0-9.\-]+)\.\*$")
+_MAX_RLIKE_PATTERNS = 64
+
+
+def split_blacklist(patterns: list[str]) -> tuple[list[str], list[str]]:
+    """(blocked_hosts, residual_regexes): patterns of the reference's
+    host-block form become broadcast-join keys; anything else stays a
+    regex. Host-block extraction narrows semantics from 'substring
+    anywhere in the URL' to 'host equality' — identical for real host
+    blocks, which is the reference's only usage."""
+    hosts, regexes = [], []
+    for p in patterns:
+        m = _HOST_BLOCK_RE.match(p)
+        if m:
+            hosts.append(m.group(1))  # verbatim — regex match is case-sensitive
+        else:
+            regexes.append(p)
+    return hosts, regexes
 
 
 def admit(
@@ -32,7 +58,25 @@ def admit(
     blacklist and the onion URL filter (the reference's seed collector has
     neither DisallowedURLFilters nor URLFilters, spider/spider.go:161-167);
     robots (north-rule addition) applies to every row."""
-    s = scheduled.where(F.col("is_seed") | ~blacklist_pred(F.col("url"), blacklist_patterns))
+    if len(blacklist_patterns) > _MAX_RLIKE_PATTERNS:
+        # J5 scale path: broadcast anti-join on host for host-block
+        # patterns; residual true-regex patterns (rare) stay on rlike
+        hosts, regexes = split_blacklist(blacklist_patterns)
+        blocked = F.broadcast(
+            scheduled.sparkSession.createDataFrame(
+                [(h,) for h in hosts], "bl_host string"
+            ).distinct()
+        )
+        s = (
+            scheduled.join(blocked, scheduled["host"] == blocked["bl_host"], "left")
+            .where(F.col("is_seed") | F.col("bl_host").isNull())
+            .drop("bl_host")
+        )
+        s = s.where(F.col("is_seed") | ~blacklist_pred(F.col("url"), regexes))
+    else:
+        s = scheduled.where(
+            F.col("is_seed") | ~blacklist_pred(F.col("url"), blacklist_patterns)
+        )
     s = s.where(F.col("is_seed") | onion_url_col(F.col("url")))
     s = (
         s.join(F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")
