@@ -285,8 +285,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf):
         return minhash_lsh_dedup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 0.8)
 
-    def dedup_simhash(spark, sf):  # no SQL oracle (bit-mix agg); pytest-verified
-        return simhash_dup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 3)
+    def dedup_simhash(spark, sf):
+        # oracle-able variant: the md5-derived 60-bit token hash is
+        # reproducible in DuckDB SQL (production default stays xxhash64;
+        # same operator, different token_hash knob)
+        from tor_spider_spark.operators.dedup import md5_60bit_hash
+
+        return simhash_dup_pairs(
+            _t(spark, sf, "documents").select("doc_id", "text"), 3, token_hash=md5_60bit_hash
+        ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
 
     def dedup_embedding_cosine(spark, sf):
         # blocked BLAS matmul via mapInPandas (operators/similarity.py) —
@@ -323,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    def lang_id(spark, sf):  # heuristic — no SQL oracle; accuracy pytest-checked
+    def lang_id(spark, sf):  # marker-count heuristic; oracle below replays it in SQL
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
 
@@ -384,6 +391,56 @@ join cnt ca on inter.i = ca.doc_id
 join cnt cb on inter.j = cb.doc_id
 where round(c*1.0/(ca.n + cb.n - c), 6) >= 0.8
 """
+
+
+def _simhash_sql() -> str:
+    """DuckDB replay of operators/dedup.simhash_dup_pairs with the
+    md5-60bit token hash (bits 60-63 are provably 0 for a 60-bit hash —
+    their ±1 sums are strictly negative — so only bits 0..59 are built)."""
+    sums = ",\n             ".join(
+        f"sum((((h >> {j}) & 1)*2 - 1)) as s{j}" for j in range(60)
+    )
+    bits = " | ".join(
+        f"(case when s{j} > 0 then (1::bigint << {j}) else 0::bigint end)" for j in range(60)
+    )
+    return f"""
+        with toks as (select doc_id, unnest(regexp_split_to_array(text, '\\s+')) as t
+                      from documents),
+        h as (select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h from toks),
+        sums as (select doc_id,
+             {sums}
+             from h group by doc_id),
+        sig as (select doc_id, ({bits}) as simhash from sums),
+        chunks as (select doc_id, simhash, unnest([0, 1, 2, 3]) as chunk,
+                          unnest([(simhash >> 0) & 65535, (simhash >> 16) & 65535,
+                                  (simhash >> 32) & 65535, (simhash >> 48) & 65535]) as cv
+                   from sig),
+        cand as (select distinct a.doc_id as i, b.doc_id as j,
+                        cast(bit_count(xor(a.simhash, b.simhash)) as integer) as hamming
+                 from chunks a
+                 join chunks b on a.chunk = b.chunk and a.cv = b.cv and a.doc_id < b.doc_id)
+        select i, j, hamming from cand where hamming <= 3"""
+
+
+_LANG_ID_SQL = """
+    with t as (select doc_id, text,
+                      regexp_split_to_array(lower(text), '\\s+') as toks,
+                      length(regexp_replace(text, '[^一-鿿]', '', 'g')) as cjk
+               from documents),
+    s as (select doc_id, text, cjk,
+          len(list_filter(toks, t -> t in ('the','and','of','to','is','that','with'))) as s_en,
+          len(list_filter(toks, t -> t in ('der','die','und','das','ist','nicht','mit'))) as s_de,
+          len(list_filter(toks, t -> t in ('le','la','et','les','des','est','dans'))) as s_fr,
+          len(list_filter(toks, t -> t in ('el','los','las','es','una','por','para'))) as s_es
+          from t)
+    select doc_id,
+           case when cjk * 3 >= length(text) then 'zh'
+                when s_es > 0 and s_es >= greatest(s_fr, s_de, s_en) then 'es'
+                when s_fr > 0 and s_fr >= greatest(s_de, s_en) then 'fr'
+                when s_de > 0 and s_de >= s_en then 'de'
+                when s_en > 0 then 'en'
+                else 'unknown' end as lang_guess
+    from s"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -483,6 +540,8 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1""",
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
+        "dedup_simhash": _simhash_sql(),
+        "lang_id": _LANG_ID_SQL,
         "dedup_embedding_cosine": """
             with e as (select vec_id, embedding::double[] as v from embeddings)
             select a.vec_id as i, b.vec_id as j,

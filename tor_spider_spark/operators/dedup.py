@@ -171,11 +171,22 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def md5_60bit_hash(col):
+    """60-bit token hash derivable in BOTH Spark and ANSI-ish SQL
+    (DuckDB: ('0x' || substr(md5(t),1,15))::bigint) — used by the
+    dedup_simhash oracle query so the DuckDB side can reproduce the
+    signature bit-for-bit. Production simhash defaults to the faster
+    native xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_signatures(docs: DataFrame, token_hash=None) -> DataFrame:
     """64-bit SimHash from whitespace tokens — fully native bit arithmetic:
-    per bit j, sum(±1) over token hashes; bit set iff sum > 0."""
+    per bit j, sum(±1) over token hashes; bit set iff sum > 0.
+    *token_hash*: column fn token -> int64 (default native xxhash64)."""
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).withColumn(
-        "h", F.xxhash64("t")
+        "h", hash_fn(F.col("t"))
     )
     sums = toks.groupBy("doc_id").agg(
         *[
@@ -193,12 +204,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming. Candidates via
     pigeonhole banding (4 × 16-bit chunks: distance ≤ 3 ⇒ some chunk is
     equal) — join on chunk, never a cross join; verified with
     bit_count(xor)."""
-    sig = simhash_signatures(docs).localCheckpoint()
+    sig = simhash_signatures(docs, token_hash).localCheckpoint()
     chunks = sig.select(
         "doc_id",
         "simhash",
