@@ -92,6 +92,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_ann_topk,
     )
 
+    def crawl_pages_3rounds(spark, sf):
+        """FLAGSHIP oracle row: 3 full engine crawl rounds on the
+        deterministic SMOKE fixture (ignores sf — the fixture is the
+        input), compared against the pure-Python simulator's pages
+        exported to a committed golden parquet
+        (scripts/make_golden.py)."""
+        from tor_spider_spark.config import CrawlConfig
+        from tor_spider_spark.fixtures.corpus import SMOKE, generate_fixture
+        from tor_spider_spark.plans.driver import CrawlDriver, fixture_to_dfs
+
+        fx = generate_fixture(SMOKE)
+        dfs = fixture_to_dfs(spark, fx)
+        run_dir = tempfile.mkdtemp(prefix="tor-spider-flagship-")
+        drv = CrawlDriver(
+            spark,
+            run_dir,
+            dfs["corpus"],
+            dfs["seeds"],
+            dfs["robots"],
+            fx.blacklist,
+            CrawlConfig(max_rounds=3),
+        )
+        drv.run()
+        return drv.read("pages").select(
+            "url",
+            F.col("round").cast("int").alias("round"),
+            "image_id",
+            "caption",
+            "phash",
+            F.col("status").cast("int").alias("status"),
+        )
+
     def q1_pricing_summary(spark, sf):  # A5/W-agg flagship relational
         return (
             _t(spark, sf, "lineitem")
@@ -343,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "crawl_pages_3rounds": crawl_pages_3rounds,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_global": topk_global,
         "window_rank_topk": window_rank_topk,
@@ -443,8 +476,20 @@ _LANG_ID_SQL = """
     from s"""
 
 
+_GOLDEN_CRAWL = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tor_spider_spark",
+    "fixtures",
+    "golden",
+    "crawl_pages_smoke_r3.parquet",
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_pages_3rounds": f"""
+            select url, round, image_id, caption, phash, status
+            from read_parquet('{_GOLDEN_CRAWL}')""",
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,

@@ -87,6 +87,19 @@ def test_all_query_keys_have_coverage():
     }
 
 
+def test_golden_crawl_parquet_is_fresh():
+    """The committed golden parquet must equal what the simulator produces
+    TODAY — catches a semantics change without a scripts/make_golden.py
+    re-run."""
+    import pyarrow.parquet as pq
+
+    from scripts.make_golden import GOLDEN, golden_table
+
+    assert pq.read_table(GOLDEN).equals(golden_table()), (
+        "golden parquet stale — re-run scripts/make_golden.py"
+    )
+
+
 def test_rows_only_queries_run(spark):
     for name in ("hash64", "approx_distinct", "ann_lsh", "doc_fingerprint"):
         df = _QUERIES[name](spark, SF_DIR)
