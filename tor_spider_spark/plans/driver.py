@@ -90,11 +90,26 @@ class CrawlDriver:
         blacklist_patterns: list[str],
         cfg: CrawlConfig | None = None,
         use_bloom: bool = True,
+        iceberg_catalog: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.run_dir = run_dir
-        self.tables = {n: SnapshotTable(run_dir, n, s) for n, s in _TABLES.items()}
+        if iceberg_catalog is not None:
+            # feature-flagged real-Iceberg backend (sources/iceberg.py);
+            # requires the runtime jar + a configured Spark catalog
+            from ..sources.iceberg import IcebergTable, iceberg_available
+
+            if not iceberg_available(spark, iceberg_catalog):
+                raise RuntimeError(
+                    f"iceberg catalog '{iceberg_catalog}' not available on this session"
+                )
+            self.tables = {
+                n: IcebergTable(spark, iceberg_catalog, n, s, self.cfg.n_buckets)
+                for n, s in _TABLES.items()
+            }
+        else:
+            self.tables = {n: SnapshotTable(run_dir, n, s) for n, s in _TABLES.items()}
         self.log = CheckpointLog(run_dir)
         # slim/payload split: frontier math never reads image bytes (§4.4)
         self.corpus_slim = corpus.select("url", "status", "out_links")
