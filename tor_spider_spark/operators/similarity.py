@@ -131,7 +131,7 @@ def embedding_dup_pairs(
         F.greatest("_p", "_q").alias("_hi"),
     )
 
-    def tile(key, pdf: pd.DataFrame):
+    def tile(key, pdf):
         lo, hi = int(key[0]), int(key[1])
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
