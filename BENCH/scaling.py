@@ -135,6 +135,32 @@ politeness prefix, no single-partition stage anywhere, bucket-aligned
 anti-join keys, AQE skew splitting (docs/PLANS.md shows the audited
 plans).
 
+## Bloom probe at its engaged regime (r2)
+
+Round 1 measured the old cogroup probe as a pessimization at every size.
+Round 2 replaced it with a shuffle-free design — broadcast bitsets +
+scalar Arrow UDF probe + a zero-exchange residual verify (maybe-keys
+broadcast into one streaming semi-scan of `seen`, dup-keys broadcast
+back; docs/PLANS.md §3). Measured seen-dedup stage, 2M candidates at 10%
+dup share, local[32], best-of-3 after warmup (`bench.py
+bench_bloom_scale`, 2026-08-16):
+
+| seen rows | exact urls/sec | bloom urls/sec | bloom speedup |
+|---|---|---|---|
+| 6,000,000 | 668,675 | 545,272 | 0.82x |
+| 20,000,000 | 438,565 | 445,025 | 1.02x |
+| 40,000,000 | 248,429-299,388 | 335,865-348,221 | **1.12-1.40x** |
+
+Bloom wall time is ~flat in seen (probe cost ∝ candidates only; the one
+seen pass is scan-only), while the exact anti-join pays a growing
+two-sided shuffle — crossover ≈ 15-20M seen on this box's RAM-backed
+shuffle, earlier on a real cluster where shuffle crosses the network.
+`CrawlConfig.bloom_min_seen = 20M` gates the probe to the regime where it
+wins; shards are still maintained every round below it (resume + the
+moment seen crosses the line). At the 10^10 target the per-round saving
+is the entire seen-side shuffle — the dominant cost at that scale. The
+per-round `bloom_scale` leg of bench.py re-measures this regime.
+
 ## Reference baseline
 
 The reference publishes no benchmark numbers (BASELINE.md §1); its

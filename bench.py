@@ -324,10 +324,13 @@ def main() -> None:
     core = bench_core(spark, core_rows)
     result["core"] = core
     if mode != "core-only":
-        result["crawl"] = bench_crawl(spark)
         # the bloom probe's engaged regime (seen >= bloom_min_seen): must
-        # show bloom_speedup >= 1 or the probe gate is mis-calibrated
+        # show bloom_speedup >= 1 or the probe gate is mis-calibrated.
+        # Runs BEFORE the crawl leg: a heap full of crawl/fixture state
+        # was measured to flip this margin (0.93x contaminated vs
+        # 1.12-1.40x clean at 40M, 1.15x at 60M).
         result["bloom_scale"] = bench_bloom_scale(spark, n_seen=40_000_000)
+        result["crawl"] = bench_crawl(spark)
         result["queries"] = bench_queries(spark, sf_dir)
     else:
         result["queries"] = {}
