@@ -261,6 +261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def stream_windowed_counts(spark, sf):
+        # REAL Structured Streaming (file source → watermark → windowed
+        # agg → availableNow drain); exact batch oracle by construction
+        from tor_spider_spark.streaming.windows import stream_tumbling_counts
+
+        return stream_tumbling_counts(spark, os.path.join(sf, "events.parquet"))
+
     def sessionize(spark, sf):  # session windows (gap > 30 min) — the
         # event-time stateful-streaming analog, batch-expressed
         from pyspark.sql import Window
@@ -390,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_array": explode_array,
         "json_extract": json_extract,
         "tumbling_window": tumbling_window,
+        "stream_windowed_counts": stream_windowed_counts,
         "sessionize": sessionize,
         "rollup_agg": rollup_agg,
         "hash64": hash64,
@@ -550,6 +558,10 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(json_extract_string(props, '$.k')::int), 4) as avg_k
             from events group by 1""",
         "tumbling_window": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+                   event_type, count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2""",
+        "stream_windowed_counts": """
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",
