@@ -54,19 +54,31 @@ def run_round(
     cfg: CrawlConfig,
     bloom_probe=None,
 ) -> RoundResult:
+    from pyspark.sql import Observation
+
     candidates = collapse_candidates(frontier)
-    # persist + count-as-materializing-action: an eager localCheckpoint
-    # would cost a dedicated full pass per stage (see _global_rank note);
-    # recompute-on-eviction is deterministic (inputs are committed files)
+    # persist + ONE materializing action per round: the n_discovered count
+    # at the end of this function computes the whole scheduled→admitted→
+    # fetched→discovered chain, warming every cache; the intermediate
+    # counts ride along as Observations (CollectMetrics below the cache —
+    # zero extra jobs; they were ~2 s/round of pure job overhead)
     persisted: list = []
-    scheduled = schedule_round(candidates, robots, host_state, round_no, cfg, persisted).persist()
-    n_scheduled = scheduled.count()
+    obs_sched = Observation()
+    scheduled = (
+        schedule_round(candidates, robots, host_state, round_no, cfg, persisted)
+        .observe(obs_sched, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
 
     # claim (frozen step 3; reference DeleteMany $in, mongojobsstorage.go:165-180)
     frontier_remainder = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
 
-    admitted = admit(scheduled, robots, seen, blacklist_patterns, bloom_probe).persist()
-    n_admitted = admitted.count()
+    obs_adm = Observation()
+    admitted = (
+        admit(scheduled, robots, seen, blacklist_patterns, bloom_probe)
+        .observe(obs_adm, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
 
     # mark seen on attempt (frozen step 5) — ONION urls only: clearnet
     # traversal rows never touch the shared visited store (the seed
@@ -88,7 +100,15 @@ def run_round(
         "url",
         "left",
     )
-    fetched = fetch.where(F.col("_status") == 200).persist()
+    obs_pages = Observation()
+    fetched = (
+        fetch.where(F.col("_status") == 200)
+        .observe(
+            obs_pages,
+            F.sum(onion_url_col(F.col("url")).cast("long")).alias("n_onion"),
+        )
+        .persist()
+    )
 
     # pages: payload join only for fetched ONION rows (frozen step 7: the
     # seed collector saves no pages, spider/spider.go:344-360 — clearnet
@@ -119,17 +139,17 @@ def run_round(
         "caption",
         "phash",
     )
-    if cfg.max_body_bytes is None:
-        # no body cap: every fetched-200 onion row has exactly one payload
-        # row (status 200 ⇔ payload present, by corpus construction), so
-        # the cheap count (off the cached `fetched`) needs no payload join
-        n_pages = fetched.where(onion_url_col(F.col("url"))).count()
-    else:
+    if cfg.max_body_bytes is not None:
         # F9 active: count the STORED pages, not the fetched rows — the
         # metrics/CrawlSummary must not overstate when the cap drops rows
         pages = pages.persist()
         persisted.append(pages)
-        n_pages = pages.count()
+        n_pages_override = pages.count()
+    else:
+        # no body cap: every fetched-200 onion row has exactly one payload
+        # row (status 200 ⇔ payload present, by corpus construction), so
+        # the obs_pages observation IS the pages count — no extra job
+        n_pages_override = None
 
     # expand (frozen step 8): explode → canonicalize (Arrow UDF) → child
     # gates: onion children are normal jobs within max_depth; clearnet
@@ -174,7 +194,14 @@ def run_round(
     new_frontier_rows = discovered.join(
         seen_next.select("url_hash"), "url_hash", "left_anti"
     ).persist()
+    # THE materializing action: computes scheduled/admitted/fetched caches
+    # transitively (discovered groupBy reads every fetched partition), so
+    # every Observation above is complete when read below
     n_discovered = new_frontier_rows.count()
+    n_scheduled = int(obs_sched.get["n"])
+    n_admitted = int(obs_adm.get["n"])
+    raw_onion = obs_pages.get["n_onion"]
+    n_pages = int(n_pages_override if n_pages_override is not None else (raw_onion or 0))
 
     frontier_next = frontier_remainder.select(*[f.name for f in frontier.schema.fields]).unionByName(
         new_frontier_rows.select(*[f.name for f in frontier.schema.fields])

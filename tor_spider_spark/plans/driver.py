@@ -169,7 +169,15 @@ class CrawlDriver:
             blooms = t["bloom_shards"].read(spark, 0)
 
         summary = CrawlSummary()
-        seen_count = seen.count() if self.bloom else 0
+        # seen row count for the bloom gate comes from the checkpoint (the
+        # driver maintains it as admitted-onion accumulates) — never a
+        # startup full scan, which at 10^10 seen would read the whole table
+        if last and "seen_count" in last:
+            seen_count = int(last["seen_count"])
+        elif last and self.bloom:
+            seen_count = seen.count()  # pre-r2 checkpoint: count once
+        else:
+            seen_count = 0
         for rnd in range(start, max_rounds):
             # drain the streamed seed inbox (S1/S2): versions newer than the
             # checkpoint-consumed one inject as one-shot seed rows THIS
@@ -252,16 +260,17 @@ class CrawlDriver:
                     metrics.unionByName(globals_df), parent=pinned["metrics"]
                 ),
             }
-            blooms_next = None
             if self.bloom:
-                blooms_next = self.bloom.update(blooms, res.new_seen, rnd).localCheckpoint()
+                # the overwrite IS the materializing action; next round
+                # reads the committed parquet back (lineage truncation via
+                # the table, like every other state table — replaces the
+                # former blocking per-round localCheckpoint job)
+                blooms_next = self.bloom.update(blooms, res.new_seen, rnd)
                 jobs["bloom_shards"] = lambda: t["bloom_shards"].overwrite(blooms_next)
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 futures = {name: pool.submit(fn) for name, fn in jobs.items()}
                 versions = {name: fut.result() for name, fut in futures.items()}
-            if self.bloom:
-                blooms = blooms_next
-            else:
+            if not self.bloom:
                 versions["bloom_shards"] = t["bloom_shards"].latest_version()
             # record the consumed inbox version (the round's seed injections
             # are reproducible from it on resume)
@@ -271,8 +280,9 @@ class CrawlDriver:
                 # compacted version is what the checkpoint pins
                 versions["seen"] = t["seen"].compact(spark, cfg.n_buckets)
                 versions["pages"] = t["pages"].compact(spark, cfg.n_buckets)
+            seen_count += res.n_admitted  # upper estimate; threshold only
             # the checkpoint write IS the round's atomic commit point
-            self.log.commit(rnd, versions)
+            self.log.commit(rnd, versions, extra={"seen_count": seen_count})
             pinned = dict(versions)
 
             for df in res.persisted:  # round is committed; release cache
@@ -281,6 +291,8 @@ class CrawlDriver:
             frontier = t["frontier"].read(spark, versions["frontier"])
             seen = t["seen"].read(spark, versions["seen"])
             host_state = t["host_state"].read(spark, versions["host_state"])
+            if self.bloom:
+                blooms = t["bloom_shards"].read(spark, versions["bloom_shards"])
 
             # status heartbeat (reference logs registry.Statuses() on a
             # ticker, main.go:178-196 — here once per committed round)
@@ -292,7 +304,6 @@ class CrawlDriver:
                 res.n_pages,
                 res.n_discovered,
             )
-            seen_count += res.n_admitted  # upper estimate; threshold only
             summary.rounds_run += 1
             summary.n_scheduled += res.n_scheduled
             summary.n_admitted += res.n_admitted
