@@ -1,12 +1,13 @@
 """One crawl round as a pure DataFrame program (SURVEY §3.2 Spark mirror).
 
     frontier ─(collapse + politeness rank)→ scheduled     [claim: anti-join]
-    scheduled ─(blacklist/onion/robots/seen)→ admitted
+    scheduled ─(blacklist/onion/robots/seen; seed-lineage exempt)→ admitted
     admitted ─(equi-join corpus slim, AQE skew)→ fetched  [status==200]
-    fetched  ─(explode out_links → canonicalize UDF → onion gate)→ discovered
+    fetched  ─(explode out_links → canonicalize UDF → child gates:
+               onion→normal job, clearnet→seed-lineage traversal)→ discovered
     discovered ─(anti-join seen')→ new frontier rows
-    admitted ───────────────────────────────→ seen append
-    fetched  ─(payload join corpus)─────────→ pages append
+    admitted (onion only) ──────────────────→ seen append
+    fetched (onion only) ─(payload join)────→ pages append
 
 Column-pruning discipline (SURVEY §4.4): the expansion path joins a SLIM
 corpus projection (url, status, out_links) so the image payload is never
