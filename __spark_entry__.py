@@ -324,6 +324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf):
         return minhash_lsh_dedup_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 0.8)
 
+    def dedup_clusters(spark, sf):
+        # near-dup pairs → connected components → (doc_id, cluster-keeper):
+        # the "keep one document per near-dup cluster" pipeline step,
+        # distributed min-label propagation (operators/dedup.py)
+        from tor_spider_spark.operators.dedup import minhash_lsh_dedup_clusters
+
+        return minhash_lsh_dedup_clusters(
+            _t(spark, sf, "documents").select("doc_id", "text"), 0.8
+        )
+
     def dedup_simhash(spark, sf):
         # oracle-able variant: the md5-derived 60-bit token hash is
         # reproducible in DuckDB SQL (production default stays xxhash64;
@@ -405,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_cosine_topk": ann_cosine_topk,
@@ -598,6 +609,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": f"""
+            with recursive
+            pairs as (select i, j from ({_SHINGLE_CTE})),
+            edges as (select i as a, j as b from pairs
+                      union all
+                      select j as a, i as b from pairs),
+            nodes as (select distinct a as node from edges),
+            reach(node, label) as (
+              select node, node from nodes
+              union
+              select e.a, r.label from edges e join reach r on e.b = r.node
+            )
+            select node as doc_id, min(label) as cluster from reach group by node""",
         "lang_id": _LANG_ID_SQL,
         "dedup_embedding_cosine": """
             with e as (select vec_id, embedding::double[] as v from embeddings)

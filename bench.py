@@ -232,6 +232,11 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
         blm = min(run_once(probe) for _ in range(3))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+        # release the 40M-row localCheckpoint blocks: legs that run after
+        # this one (the crawl) were measured 15-25% slower under the heap
+        # pressure they leave behind
+        for df in (candidates, seen, shards):
+            df.unpersist(True)
     return {
         "seen_rows": n_seen,
         "cand_rows": n_cand,
@@ -282,6 +287,7 @@ _BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_cosine_topk",

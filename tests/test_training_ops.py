@@ -56,6 +56,25 @@ def test_minhash_lsh_equals_exact_pairs(spark):
     assert lsh == exact
 
 
+def test_connected_components_clusters_transitively(spark):
+    """{0,1,2,5} form one near-dup cluster through pairwise links even when
+    some pairs (e.g. 2-5) fall below threshold directly — transitivity is
+    the point of the component pass. Labels = min doc_id of the cluster."""
+    from tor_spider_spark.operators.dedup import connected_components, minhash_lsh_dedup_clusters
+
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_dedup_clusters(_docs(spark), 0.5).collect()
+    }
+    grouped = {d for d, c in clusters.items() if c == 0}
+    assert 0 in grouped and 1 in grouped and 2 in grouped
+    assert 3 not in clusters and 4 not in clusters  # singletons excluded
+    # pure graph check: a 4-chain collapses to one min label in O(diameter)
+    pairs = spark.createDataFrame([(10, 11), (11, 12), (12, 13)], "i long, j long")
+    cc = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert cc == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
 def test_simhash_agrees_with_pure_python(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
 

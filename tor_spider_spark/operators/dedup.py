@@ -180,6 +180,56 @@ def md5_60bit_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTERS from dup pairs: (doc_id, cluster) where cluster =
+    min doc_id reachable through the pair graph — the "keep one document
+    per near-dup cluster" step of a training-data pipeline.
+
+    Distributed min-label propagation: each iteration joins labels across
+    edges and keeps the per-node minimum — converges in O(component
+    diameter) rounds (near-dup clusters are shallow: usually 2-4).
+    Deterministic fixpoint detection without collecting labels: min-labels
+    only ever decrease, so the label SUM strictly decreases until the
+    fixpoint — one tiny agg per iteration. Each iteration localCheckpoints
+    to truncate lineage (standard iterative-algorithm hygiene). Scale
+    shape: the per-iteration cost is one shuffle of |edges| and one of
+    |nodes| — the alternating-star optimization is unnecessary at dup-pair
+    densities (|edges| ≈ |dup docs|)."""
+    edges = (
+        pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .unionByName(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]  # scalar, bounded
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def minhash_lsh_dedup_clusters(docs: DataFrame, threshold: float) -> DataFrame:
+    """MinHash-LSH dup pairs → connected components → one keeper per
+    cluster: (doc_id, cluster) for every document in a near-dup cluster
+    (cluster = min doc_id; the keeper IS the cluster id)."""
+    return connected_components(minhash_lsh_dedup_pairs(docs, threshold))
+
+
 def simhash_signatures(docs: DataFrame, token_hash=None) -> DataFrame:
     """64-bit SimHash from whitespace tokens — fully native bit arithmetic:
     per bit j, sum(±1) over token hashes; bit set iff sum > 0.
