@@ -18,6 +18,29 @@ def test_bitset_no_false_negatives_numpy():
     assert _test_bits(bits, _positions(inserted, k, m)).all()
 
 
+def test_bitset_no_false_negatives_property():
+    """Hypothesis property (SURVEY §5.2.4): for ARBITRARY int64 keys —
+    negative, duplicate, extreme — every inserted key probes positive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200
+        ),
+        st.sampled_from([1 << 10, 1 << 13, 1 << 16]),
+        st.integers(min_value=1, max_value=10),
+    )
+    def prop(keys, m, k):
+        bits = np.zeros(m // 8, np.uint8)
+        arr = np.array(keys, np.int64)
+        _set_bits(bits, _positions(arr, k, m))
+        assert _test_bits(bits, _positions(arr, k, m)).all()
+
+    prop()
+
+
 def test_bitset_fpp_reasonable():
     m, k = 1 << 20, 7
     bits = np.zeros(m // 8, np.uint8)
