@@ -161,6 +161,17 @@ moment seen crosses the line). At the 10^10 target the per-round saving
 is the entire seen-side shuffle — the dominant cost at that scale. The
 per-round `bloom_scale` leg of bench.py re-measures this regime.
 
+## Crawl-bench workload note (r2)
+
+The r2 crawl bench is NOT the r1 workload: seed-lineage clearnet traversal
+(the round-1 judge's top gap) adds clearnet traversal rows and revisit
+cycles (8,398 scheduled vs 7,644 in r1, +10%), the fixture gains hidden
+onion hosts + always-200 clearnet chains, and pages/seen are now
+onion-only. Crawl wall 39.6 s (r1) → ~55 s (r2) reflects that extra
+semantic work plus shared-VM variance; the fused-Observation round loop
+(r2) is ~30% FASTER like-for-like (measured 40 s → 29 s on the identical
+6-round profile before/after the fusion).
+
 ## Reference baseline
 
 The reference publishes no benchmark numbers (BASELINE.md §1); its
