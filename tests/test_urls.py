@@ -51,6 +51,37 @@ def test_canonicalize_idempotent(href):
         assert canonicalize(V2 + "/p1", c) == c  # absolute input is a fixpoint
 
 
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet="abxp.:/?#&= %2\t", max_size=40),
+            st.builds(
+                lambda scheme, host, path, q: f"{scheme}://{host}{path}{q}",
+                st.sampled_from(["http", "https", "HTTP"]),
+                st.text(alphabet="abcXY29.-", max_size=20),
+                st.sampled_from(["", "/", "/p1", "/a b", "/x/../y", "/p "]),
+                st.sampled_from(["", "?q=1", "?a=%20b"]),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_fast_path_matches_pure_function(hrefs):
+    """The UDF's vectorized fast path must agree element-for-element with
+    the simulator's pure function — adversarial hrefs included (uppercase
+    scheme, whitespace, dot segments, empty netloc, fragments)."""
+    import pandas as pd
+
+    base = V2 + "/p1"
+    got = canonicalize_urls.func(
+        pd.Series([base] * len(hrefs)), pd.Series(hrefs, dtype="object")
+    )
+    want = [canonicalize(base, h) for h in hrefs]
+    assert list(got) == want, hrefs
+
+
 def test_onion_pattern_python_and_spark_agree(spark):
     urls = [
         V2 + "/p1",

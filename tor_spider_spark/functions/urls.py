@@ -29,18 +29,53 @@ from ..config import ONION_URL_PATTERN
 from ..simulator import canonicalize as _canon_py
 
 
+# Fast-path shape: an already-absolute lowercase-scheme http(s) href with
+# no fragment. For these, RFC 3986 resolution is the identity (urljoin
+# returns an absolute href unchanged), so canonicalization reduces to
+# vectorizable string surgery: lowercase netloc, default path to "/",
+# carry the query. Everything else falls back to the simulator's pure
+# function per element (tests/test_urls.py proves the two paths agree by
+# construction AND by hypothesis).
+# One anchored regex decides the fast path AND splits it: absolute
+# lowercase-scheme http(s), NON-EMPTY netloc (an empty one inherits the
+# base netloc under RFC resolution — slow path), no '#' anywhere (the
+# groups exclude it and the anchors leave it nowhere to hide). A separate
+# strip-equality pass routes leading/trailing-whitespace hrefs to the slow
+# path (which strips before resolving).
+_FAST_RE = r"^(https?)://([^/?#\s]+)([^?#]*)(?:\?([^#]*))?$"
+
+
 @pandas_udf(StringType())
 def canonicalize_urls(base: pd.Series, href: pd.Series) -> pd.Series:
     """Vectorized (base, href) -> canonical absolute URL or null.
 
-    Delegates per element to the same pure function the simulator uses
+    Absolute fragment-free http(s) hrefs (the majority of crawl links)
+    take a pure-pandas vectorized path — ONE regex extract over the batch
+    — because RFC 3986 resolution is the identity for them (urljoin does
+    not even normalize dot segments; verified against CPython). The rest
+    delegate per element to the same pure function the simulator uses
     (tor_spider_spark.simulator.canonicalize) so engine and oracle cannot
-    disagree; batches arrive via Arrow.
+    disagree. Batches arrive via Arrow.
     """
-    return pd.Series(
-        [_canon_py(b, h) if b is not None else None for b, h in zip(base, href)],
-        dtype="object",
-    )
+    h = href.astype("object")
+    parts = h.str.extract(_FAST_RE)
+    fast = base.notna() & parts[0].notna() & (h.str.strip() == h)
+    out = pd.Series([None] * len(h), dtype="object")
+    if fast.any():
+        p = parts[fast]
+        path = p[2].where(p[2] != "", "/")
+        rebuilt = p[0] + "://" + p[1].str.lower() + path
+        # an empty query ("...?") is dropped, matching urlsplit falsiness
+        has_q = p[3].notna() & (p[3] != "")
+        rebuilt = rebuilt.where(~has_q, rebuilt + "?" + p[3].fillna(""))
+        out[fast] = rebuilt
+    slow = ~fast
+    if slow.any():
+        out[slow] = [
+            _canon_py(b, v) if b is not None else None
+            for b, v in zip(base[slow], h[slow])
+        ]
+    return out
 
 
 def onion_url_col(url: Column) -> Column:
