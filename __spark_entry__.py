@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tor_spider_spark.operators.similarity import (
         cosine_topk,
         embedding_dup_pairs,
+        ivf_ann_topk,
         lsh_ann_topk,
     )
 
@@ -357,6 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return lsh_ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
 
+    def ann_ivf(spark, sf):  # IVF scale path (KMeans coarse quantizer) —
+        # approximate by design, no oracle; recall vs brute force tested
+        e = _t(spark, sf, "embeddings")
+        return ivf_ann_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
     def text_quality(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
@@ -420,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "text_quality": text_quality,
         "token_count": token_count,
         "lang_id": lang_id,

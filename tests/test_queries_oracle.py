@@ -83,6 +83,7 @@ def test_all_query_keys_have_coverage():
         "hash64",
         "approx_distinct",
         "ann_lsh",
+        "ann_ivf",
         "doc_fingerprint",
     }
 
@@ -101,6 +102,6 @@ def test_golden_crawl_parquet_is_fresh():
 
 
 def test_rows_only_queries_run(spark):
-    for name in ("hash64", "approx_distinct", "ann_lsh", "doc_fingerprint"):
+    for name in ("hash64", "approx_distinct", "ann_lsh", "ann_ivf", "doc_fingerprint"):
         df = _QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0

@@ -133,6 +133,22 @@ def test_lsh_ann_recall_at_k(spark):
     assert recall >= 0.5, recall
 
 
+def test_ivf_ann_recall_at_k(spark):
+    from tor_spider_spark.operators.similarity import ivf_ann_topk
+
+    e = _embeddings(spark).localCheckpoint()
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(e, q, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-identical vectors land in the same KMeans cell by construction
+    assert (0, 1) in approx
+    assert recall >= 0.5, recall
+
+
 def test_lang_id_on_real_text(spark):
     rows = [
         (0, "the cat and the dog went to the market with a basket", "en"),

@@ -175,6 +175,77 @@ def make_bucket_udf(dim: int, n_tables: int = 8, bits: int = 8, seed: int = 42):
     return buckets
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: an MLlib KMeans
+    coarse quantizer partitions the L2-normalized corpus into n_cells
+    inverted lists; each query probes its n_probe nearest cells and
+    exact-cosine re-ranks only those candidates.
+
+    Scale shape: the index build is one KMeans fit (MLlib, distributed) +
+    one assignment pass; at query time the centroid table (n_cells × dim —
+    kilobytes) broadcasts, so candidate generation is a broadcast join and
+    the corpus shuffles once on cell id. Expected candidates ≈
+    N·n_probe/n_cells per query. Cosine ⇔ euclidean ordering holds because
+    vectors are unit-normalized before clustering. Recall is tunable via
+    n_probe (measured against cosine_topk in tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normalized(df: DataFrame, idname: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col)))
+        return df.select(F.col(id_col).alias(idname), v.alias("_nv"))
+
+    corpus = normalized(embeddings, "neighbor_id")
+    model = (
+        KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell")
+        .fit(corpus.withColumn("_fv", array_to_vector("_nv")))
+    )
+    corpus_cells = (
+        model.transform(corpus.withColumn("_fv", array_to_vector("_nv")))
+        .select("neighbor_id", F.col("_nv").alias("cv"), "cell")
+    )
+    centers = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    q = normalized(queries, "query_id")
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cell").asc())
+    probed = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with(F.col("_nv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("_r", F.row_number().over(w_cell))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", F.col("_nv").alias("qv"), "cell")
+    )
+    scored = (
+        probed.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")))  # unit vectors: dot == cosine
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
