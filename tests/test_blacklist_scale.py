@@ -1,7 +1,10 @@
-"""J5 blacklist scale path: above _MAX_RLIKE_PATTERNS the host-block
-patterns apply via a broadcast anti-join on host instead of an rlike-OR
-expression tree — admitted sets must be identical to the regex semantics
-(checked against a pure-Python re.search oracle)."""
+"""J5 blacklist scale path: above _MAX_RLIKE_PATTERNS the patterns apply
+via chunked trie-shared alternation regexes instead of a flat rlike-OR
+expression tree — admitted sets must be identical to the reference's
+re.search semantics AT EVERY PATTERN COUNT (checked against a pure-Python
+re.search oracle), including subdomain hosts and blocked-host substrings
+appearing in the path/query (ADVICE r2 #3: the former broadcast host join
+narrowed these to host equality)."""
 
 from __future__ import annotations
 
@@ -10,7 +13,12 @@ import re
 from pyspark.sql import functions as F
 
 from tor_spider_spark import schemas
-from tor_spider_spark.operators.filters import _MAX_RLIKE_PATTERNS, admit, split_blacklist
+from tor_spider_spark.operators.filters import (
+    _MAX_RLIKE_PATTERNS,
+    admit,
+    scale_blacklist_pred,
+    split_blacklist,
+)
 
 
 def test_split_blacklist_classifies_reference_forms():
@@ -70,6 +78,31 @@ def test_large_blacklist_anti_join_matches_regex_semantics(spark):
     patterns += [f".*{('b'*10)}{i:06d}.onion.*" for i in range(10_000 - len(patterns))]
     assert len(patterns) == 10_000 > _MAX_RLIKE_PATTERNS
 
+    # host-in-path rows: the URL's own host is clean (passes F1), but a
+    # BLOCKED host string appears in the query — re.search semantics block
+    # these; host-equality semantics would admit them
+    clean = [h for h in hosts_in_play if h not in set(blocked_real)][:4]
+    extra = spark.createDataFrame(
+        [
+            (f"http://{clean[0]}/x?ref={blocked_real[0]}", clean[0]),
+            (f"http://{clean[1]}/see/{blocked_real[1]}/deep", clean[1]),
+            (f"http://{clean[2]}/clean", clean[2]),
+        ],
+        "url string, host string",
+    ).select(
+        F.lit(0).alias("round"),
+        F.lit(99999).alias("rank"),
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        F.xxhash64("host").alias("host_hash"),
+        F.lit(1).alias("depth"),
+        F.lit(0.5).alias("priority"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(False).alias("is_seed"),
+    )
+    cand = cand.unionByName(extra.select(*cand.columns)).localCheckpoint()
+
     robots = spark.createDataFrame([], schemas.ROBOTS)
     seen = spark.createDataFrame([], schemas.SEEN)
     got = sorted(
@@ -83,7 +116,35 @@ def test_large_blacklist_anti_join_matches_regex_semantics(spark):
         r["url"] for r in rows if r["is_seed"] or not any(p.search(r["url"]) for p in pats)
     )
     assert got == expect
-    assert 0 < len(got) < cand.count()  # the join actually dropped rows
+    assert 0 < len(got) < cand.count()  # the predicate actually dropped rows
+    # the host-in-path rows observably split: substring-blocked vs clean
+    assert f"http://{clean[2]}/clean" in got
+    assert not any(blocked_real[0] in u or blocked_real[1] in u for u in got)
+
+
+def test_scale_pred_blocks_subdomains_like_regex(spark):
+    """Subdomain URLs (host = www.<blocked>) match the reference's
+    unanchored regex; the scale predicate must agree (the r2 host-equality
+    join did not). Tested at the predicate level because F1 (the onion URL
+    filter) would mask the divergence inside admit()."""
+    blocked = ["a" * 16 + ".onion", "b" * 16 + ".onion"]
+    patterns = [f".*{h}.*" for h in blocked]
+    patterns += [f".*{('z'*10)}{i:05d}.onion.*" for i in range(200)]
+    urls = [
+        ("http://www." + blocked[0] + "/x", True),
+        ("http://" + blocked[1] + ".evil.tld/y", True),  # blocked host as a label prefix
+        ("http://" + "c" * 16 + ".onion/ok", False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {
+        r["url"]: r["m"]
+        for r in df.select(
+            "url", scale_blacklist_pred(F.col("url"), patterns).alias("m")
+        ).collect()
+    }
+    pats = [re.compile(p) for p in patterns]
+    for u, want in urls:
+        assert got[u] == want == any(bool(p.search(u)) for p in pats), u
 
 
 def test_small_blacklist_still_uses_rlike_path(spark, smoke_fixture):

@@ -54,13 +54,17 @@ def test_canonicalize_idempotent(href):
 @given(
     st.lists(
         st.one_of(
-            st.text(alphabet="abxp.:/?#&= %2\t", max_size=40),
+            # free text that CAN spell http(s) URLs, including interior
+            # \t\r\n (which urlsplit strips anywhere — ADVICE r2 #1)
+            st.text(alphabet="htps.:/?#&= %2ab\t\r\n", max_size=40),
             st.builds(
                 lambda scheme, host, path, q: f"{scheme}://{host}{path}{q}",
                 st.sampled_from(["http", "https", "HTTP"]),
                 st.text(alphabet="abcXY29.-", max_size=20),
-                st.sampled_from(["", "/", "/p1", "/a b", "/x/../y", "/p "]),
-                st.sampled_from(["", "?q=1", "?a=%20b"]),
+                st.sampled_from(
+                    ["", "/", "/p1", "/a b", "/x/../y", "/p ", "/pa\tth", "/p\r\nq"]
+                ),
+                st.sampled_from(["", "?q=1", "?a=%20b", "?a=\t1"]),
             ),
         ),
         min_size=1,

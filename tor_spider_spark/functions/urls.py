@@ -41,8 +41,14 @@ from ..simulator import canonicalize as _canon_py
 # base netloc under RFC resolution — slow path), no '#' anywhere (the
 # groups exclude it and the anchors leave it nowhere to hide). A separate
 # strip-equality pass routes leading/trailing-whitespace hrefs to the slow
-# path (which strips before resolving).
+# path (which strips before resolving), and a control-char pass routes
+# hrefs containing interior \t\r\n there too: CPython's urlsplit/urljoin
+# REMOVE those three bytes anywhere in the URL (WHATWG behavior,
+# urllib.parse._UNSAFE_URL_BYTES_TO_REMOVE), which the regex groups would
+# otherwise admit verbatim — the fast path must never disagree with the
+# pure function on them (ADVICE r2 #1).
 _FAST_RE = r"^(https?)://([^/?#\s]+)([^?#]*)(?:\?([^#]*))?$"
+_CTRL_RE = r"[\t\r\n]"
 
 
 @pandas_udf(StringType())
@@ -59,7 +65,12 @@ def canonicalize_urls(base: pd.Series, href: pd.Series) -> pd.Series:
     """
     h = href.astype("object")
     parts = h.str.extract(_FAST_RE)
-    fast = base.notna() & parts[0].notna() & (h.str.strip() == h)
+    fast = (
+        base.notna()
+        & parts[0].notna()
+        & (h.str.strip() == h)
+        & ~h.str.contains(_CTRL_RE, regex=True, na=True)
+    )
     out = pd.Series([None] * len(h), dtype="object")
     if fast.any():
         p = parts[fast]

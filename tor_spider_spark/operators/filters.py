@@ -24,19 +24,30 @@ from ..functions.urls import blacklist_pred, onion_url_col, path_col
 
 # J5 scale path (SURVEY §2.3): every reference blacklist entry is a
 # host-block written as an unanchored regex (".*<host>.*", reference
-# blacklist.txt:1-4). Above this pattern count the rlike-OR expression
-# tree stops being sensible; host-block patterns are extracted into a
-# broadcast DataFrame and applied as one left_anti-shaped join instead.
+# blacklist.txt:1-4). Above this pattern count a flat rlike-OR expression
+# tree stops being sensible (10k regex nodes break analysis/codegen and
+# cost O(patterns) regex attempts per URL position). The scale path
+# compiles the host-block bodies into TRIE-SHARED alternation regexes —
+# prefix-merged, so the Java regex engine walks at most one |alphabet|-way
+# branch per character instead of trying every pattern — evaluated by the
+# same whole-stage-codegen rlike as the small path. Semantics are EXACTLY
+# the reference's unanchored re.search of the original patterns at every
+# pattern count ('.' stays a wildcard; ADVICE r2 #3 — the former
+# broadcast-host-join narrowed substring matching to host equality and
+# admitted subdomain/host-in-path URLs the regex semantics block).
 _HOST_BLOCK_RE = re.compile(r"^\.\*([A-Za-z0-9.\-]+)\.\*$")
 _MAX_RLIKE_PATTERNS = 64
+# one compiled Pattern per ~500 bodies keeps each generated-code string
+# literal well under the JVM's 64 KB constant-pool limit
+_TRIE_CHUNK = 500
 
 
 def split_blacklist(patterns: list[str]) -> tuple[list[str], list[str]]:
-    """(blocked_hosts, residual_regexes): patterns of the reference's
-    host-block form become broadcast-join keys; anything else stays a
-    regex. Host-block extraction narrows semantics from 'substring
-    anywhere in the URL' to 'host equality' — identical for real host
-    blocks, which is the reference's only usage."""
+    """(host_block_bodies, residual_regexes): the reference's host-block
+    form ``.*<host>.*`` contributes its body (with '.' kept as the regex
+    wildcard it is, so semantics are untouched); anything else stays a
+    full regex. Both halves are matched with re.search semantics — the
+    split only decides which patterns can share a trie."""
     hosts, regexes = [], []
     for p in patterns:
         m = _HOST_BLOCK_RE.match(p)
@@ -45,6 +56,51 @@ def split_blacklist(patterns: list[str]) -> tuple[list[str], list[str]]:
         else:
             regexes.append(p)
     return hosts, regexes
+
+
+def _trie_regex(bodies: list[str]) -> str:
+    """Prefix-trie alternation of regex BODIES whose only metacharacter is
+    '.' (host blocks: [A-Za-z0-9.\\-]). Equivalent to ``b1|b2|...`` under
+    re.search, but prefix-merged: matching advances one trie level per
+    character, so cost per start position is O(branching), not O(bodies).
+    A body that is a prefix of another makes the continuation optional."""
+    trie: dict = {}
+    for b in bodies:
+        node = trie
+        for ch in b:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal marker
+
+    def emit(node: dict) -> str:
+        has_end = "" in node
+        alts = []
+        for ch in sorted(k for k in node if k != ""):
+            # '-' is literal outside a class; '.' deliberately unescaped
+            ch_re = ch if ch in ".-" else re.escape(ch)
+            alts.append(ch_re + emit(node[ch]))
+        if not alts:
+            return ""
+        if has_end:
+            # the WHOLE continuation is optional — must be grouped even for
+            # a single alternative, or '?' would bind to its last atom only
+            return "(?:" + "|".join(alts) + ")?"
+        return alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+
+    return emit(trie)
+
+
+def scale_blacklist_pred(url, patterns: list[str]):
+    """rlike predicate for large blacklists: host-block bodies share
+    chunked trie regexes; residual true regexes join in chunked
+    non-capturing alternations. Exact re.search semantics preserved."""
+    hosts, regexes = split_blacklist(patterns)
+    pred = F.lit(False)
+    for i in range(0, len(hosts), _TRIE_CHUNK):
+        pred = pred | url.rlike(_trie_regex(hosts[i : i + _TRIE_CHUNK]))
+    for i in range(0, len(regexes), _TRIE_CHUNK):
+        alt = "|".join(f"(?:{p})" for p in regexes[i : i + _TRIE_CHUNK])
+        pred = pred | url.rlike(alt)
+    return pred
 
 
 def admit(
@@ -59,20 +115,11 @@ def admit(
     neither DisallowedURLFilters nor URLFilters, spider/spider.go:161-167);
     robots (north-rule addition) applies to every row."""
     if len(blacklist_patterns) > _MAX_RLIKE_PATTERNS:
-        # J5 scale path: broadcast anti-join on host for host-block
-        # patterns; residual true-regex patterns (rare) stay on rlike
-        hosts, regexes = split_blacklist(blacklist_patterns)
-        blocked = F.broadcast(
-            scheduled.sparkSession.createDataFrame(
-                [(h,) for h in hosts], "bl_host string"
-            ).distinct()
+        # J5 scale path: trie-shared alternation rlike — same re.search
+        # semantics as the small path, O(1)-ish per URL position
+        s = scheduled.where(
+            F.col("is_seed") | ~scale_blacklist_pred(F.col("url"), blacklist_patterns)
         )
-        s = (
-            scheduled.join(blocked, scheduled["host"] == blocked["bl_host"], "left")
-            .where(F.col("is_seed") | F.col("bl_host").isNull())
-            .drop("bl_host")
-        )
-        s = s.where(F.col("is_seed") | ~blacklist_pred(F.col("url"), regexes))
     else:
         s = scheduled.where(
             F.col("is_seed") | ~blacklist_pred(F.col("url"), blacklist_patterns)
