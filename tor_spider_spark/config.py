@@ -49,6 +49,14 @@ class CrawlConfig:
     # bloom shard sizing (SURVEY §4.4): bits/key ≈ 10 → fpp ≈ 1%
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 7
+    # expected TOTAL seen URLs the bloom must hold; shards are sized to
+    # bits_per_key × capacity / n_buckets (next power of two, ≥ 2^20) —
+    # an undersized bloom saturates and silently degrades every probe to
+    # "maybe" (correct but useless). None = the legacy 2^20 bits/shard
+    # (~1.6M capacity at 16 buckets). At the 10^10 design point:
+    # capacity=10^10, n_buckets=4096 → 2^25 bits (4 MB)/shard, 16 GB
+    # total — which is why the partition-aligned probe exists.
+    bloom_capacity: int | None = None
     # probe short-circuit pays off only when `seen` is large enough that
     # the exact anti-join shuffle dominates; below this row count the
     # shards are still MAINTAINED every round (cheap, incremental — they

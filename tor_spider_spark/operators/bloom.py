@@ -21,7 +21,15 @@ exact (cuckoo-style) verification*:
 Sizing: bits are double-hashed from the 64-bit url_hash
 (h_i = h1 + i·h2 mod m). Default 2^20 bits/shard ≈ 1% fpp at ~10^5
 URLs/shard with k=7; at 10^10-URL scale use n_shards=4096 and 2^25
-bits/shard (~4 MB, SURVEY §4.4) — knobs only, same code.
+bits/shard (~4 MB, SURVEY §4.4) — knobs only, same code
+(CrawlConfig.bloom_capacity derives them).
+
+Probing has TWO physical strategies behind one ``probe()`` dispatch,
+chosen by the static total bitset size (see DEFAULT_BROADCAST_MAX_BYTES):
+broadcast bitsets + scalar Arrow UDF below the cap (the measured winner in
+the engaged regime), partition-aligned cogroup above it (nothing touches
+the driver — the 10^10-seen deployment path; parity-tested against the
+broadcast probe and benched by bench_bloom_scale).
 """
 
 from __future__ import annotations
@@ -33,9 +41,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from ..schemas import BLOOM_SHARDS
+
+# above this total bitset size the broadcast probe stops being sensible
+# (collect to driver + broadcast to every executor); probe() switches to
+# the partition-aligned cogroup probe. 512 MB ≈ 4×10^8 seen at 10 bits/key
+# — at the 10^10 design point (~12 GB of shards) only the partitioned
+# probe is viable. Knob, measured at both settings by bench_bloom_scale.
+DEFAULT_BROADCAST_MAX_BYTES = 512 << 20
+
+_MAYBE_KEYS = StructType(
+    [StructField("url_hash", LongType()), StructField("host_hash", LongType())]
+)
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -63,11 +82,46 @@ def shard_col(host_hash_col, n_shards: int):
     return F.pmod(host_hash_col, F.lit(n_shards)).cast("int")
 
 
+class BloomProbe:
+    """Callable ``probe(candidates) -> candidates + _bloom_maybe`` with an
+    explicit ``release()`` for the broadcast variant: the driver loop
+    creates one probe per round, and un-released Broadcast objects would
+    otherwise pile up on driver+executors across thousands of rounds until
+    Python GC happens to run (ADVICE r2 #5)."""
+
+    def __init__(self, apply_fn, broadcast=None):
+        self._apply = apply_fn
+        self._broadcast = broadcast
+
+    def __call__(self, candidates: DataFrame) -> DataFrame:
+        return self._apply(candidates)
+
+    def release(self) -> None:
+        if self._broadcast is not None:
+            # the round is committed when the driver calls this — no task
+            # can still need the bitsets; destroy frees both driver and
+            # executor copies immediately instead of waiting for GC
+            self._broadcast.destroy()
+            self._broadcast = None
+
+
 class BloomShards:
-    def __init__(self, n_shards: int, m_bits: int = 1 << 20, k: int = 7):
+    def __init__(
+        self,
+        n_shards: int,
+        m_bits: int = 1 << 20,
+        k: int = 7,
+        broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    ):
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
+        self.broadcast_max_bytes = broadcast_max_bytes
+
+    @property
+    def total_bytes(self) -> int:
+        """Exact total bitset size — static from the knobs, no scan."""
+        return self.n_shards * (self.m_bits // 8)
 
     def update(self, shards: DataFrame, new_items: DataFrame, round_no: int) -> DataFrame:
         """Merge this round's new (url_hash, host_hash) rows into the
@@ -103,10 +157,24 @@ class BloomShards:
             .applyInPandas(merge, schema=BLOOM_SHARDS)
         )
 
-    def probe(self, shards: DataFrame):
-        """Returns fn(candidates) -> candidates + boolean `_bloom_maybe`.
+    def probe(self, shards: DataFrame) -> BloomProbe:
+        """Returns a :class:`BloomProbe`: candidates -> candidates +
+        boolean `_bloom_maybe`. Dispatches on the STATIC total bitset size
+        (n_shards × m_bits/8 — known from the knobs, no scan):
 
-        SHUFFLE-FREE design (replaces the round-1 cogroup probe, which
+        - below ``broadcast_max_bytes``: the shuffle-free broadcast probe
+          (``probe_broadcast``) — the measured winner in the engaged
+          regime on one box;
+        - above it: the partition-aligned cogroup probe
+          (``probe_partitioned``) — the 10^10-seen deployment path, where
+          collecting every bitset to the driver would be a ~12 GB collect
+          + broadcast (VERDICT r2 #2)."""
+        if self.total_bytes > self.broadcast_max_bytes:
+            return self.probe_partitioned(shards)
+        return self.probe_broadcast(shards)
+
+    def probe_broadcast(self, shards: DataFrame) -> BloomProbe:
+        """SHUFFLE-FREE probe (replaces the round-1 cogroup probe, which
         repartitioned every candidate row by shard and round-tripped full
         rows through Python — measured 1.5-3.8× slower than the exact
         anti-join it was meant to short-circuit): the shard bitsets are
@@ -116,15 +184,8 @@ class BloomShards:
         SCALAR Arrow-batched pandas UDF over only the (url_hash,
         host_hash) long columns. No exchange, no full-row Arrow transfer
         — the row stays JVM-side and only two int64 columns + one bool
-        cross the boundary.
-
-        Size envelope: at 10 bits/key the broadcast is ~125 MB per 10^8
-        seen URLs — fine to ~10^9. At the full 10^10 target the bloom is
-        ~12 GB no matter how it is structured; there the deployment path
-        is partition-aligned probing (shards and candidates share the
-        pmod(host_hash) bucketing, so an Iceberg storage-partitioned
-        join holds each task's single shard local — same probe math,
-        broadcast replaced by co-location)."""
+        cross the boundary. The returned probe's ``release()`` destroys
+        the broadcast once the round is committed."""
         m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
         rows = shards.select("shard_id", "bits").collect()
         table = {
@@ -153,4 +214,54 @@ class BloomShards:
                 "_bloom_maybe", _maybe(F.col("url_hash"), F.col("host_hash"))
             )
 
-        return apply
+        return BloomProbe(apply, broadcast=b_table)
+
+    def probe_partitioned(self, shards: DataFrame) -> BloomProbe:
+        """Partition-aligned co-located probe — the ≥10^9-seen path.
+
+        No bitset ever touches the driver: candidate KEYS (two int64
+        columns, not full rows — the r1 cogroup mistake) are cogrouped
+        with the shards on ``shard_id = pmod(host_hash, n_shards)``; each
+        task holds exactly ONE shard bitset plus its candidates and runs
+        the same numpy bit-test math as the broadcast probe. On the
+        Iceberg backend both sides are already bucket(host_hash)-
+        partitioned, so a storage-partitioned read holds each task's
+        shard local; in the sandbox the cogroup shuffles the slim keys
+        (16 bytes/row) and the shards (each to one task). The bloom-
+        positive keys that come back are orders of magnitude smaller than
+        the candidate set in the engaged regime (dup share + fpp), so
+        they re-attach with a broadcast join — candidates themselves are
+        never exchanged, preserving the broadcast probe's zero-exchange
+        property on the big side."""
+        m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
+        shard_slim = shards.select("shard_id", "bits")
+
+        def probe_group(key, cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand):
+                return pd.DataFrame({"url_hash": [], "host_hash": []}).astype("int64")
+            if not len(shard) or shard["bits"].iloc[0] is None:
+                # no shard ⇒ nothing inserted ⇒ every candidate is a
+                # definite negative
+                return pd.DataFrame({"url_hash": [], "host_hash": []}).astype("int64")
+            bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
+            uh = cand["url_hash"].to_numpy(np.int64)
+            maybe = _test_bits(bits, _positions(uh, k, m_bits))
+            return cand.loc[maybe, ["url_hash", "host_hash"]]
+
+        def apply(candidates: DataFrame) -> DataFrame:
+            keys = candidates.select(
+                "url_hash",
+                "host_hash",
+                shard_col(F.col("host_hash"), n_shards).alias("shard_id"),
+            )
+            maybe_keys = (
+                keys.groupBy("shard_id")
+                .cogroup(shard_slim.groupBy("shard_id"))
+                .applyInPandas(probe_group, schema=_MAYBE_KEYS)
+                .withColumn("_bloom_maybe", F.lit(True))
+            )
+            return candidates.join(
+                F.broadcast(maybe_keys), ["url_hash", "host_hash"], "left"
+            ).withColumn("_bloom_maybe", F.coalesce("_bloom_maybe", F.lit(False)))
+
+        return BloomProbe(apply)
