@@ -56,6 +56,28 @@ def test_append_parent_fences_orphans(iceberg_spark):
     assert got == sorted(list(range(10)) + list(range(100, 110)))
 
 
+def test_seed_inbox_drain_on_iceberg(iceberg_spark):
+    """The streamed-seed drain path on the real backend (ADVICE r2 #2):
+    read_new must return exactly the rows of snapshots after the consumed
+    one, and has_new must gate on id inequality. Mock-level contract in
+    tests/test_iceberg_contract.py; this is the live replay."""
+    from tor_spider_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(iceberg_spark, CATALOG, "seed_inbox_it", schemas.SEED_INBOX)
+    mk = lambda urls: iceberg_spark.createDataFrame(  # noqa: E731
+        [(u, 0) for u in urls], schemas.SEED_INBOX
+    )
+    v1 = t.append(mk(["http://a.onion"]))
+    assert t.has_new(0, v1)
+    assert {r["url"] for r in t.read_new(iceberg_spark, 0, v1).collect()} == {
+        "http://a.onion"
+    }
+    v2 = t.append(mk(["http://b.onion", "http://c.onion"]))
+    assert t.has_new(v1, v2) and not t.has_new(v2, v2)
+    fresh = {r["url"] for r in t.read_new(iceberg_spark, v1, v2).collect()}
+    assert fresh == {"http://b.onion", "http://c.onion"}
+
+
 def test_crawl_driver_runs_on_iceberg(iceberg_spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, smoke_sim):
     from tor_spider_spark.plans.driver import CrawlDriver
 

@@ -79,6 +79,28 @@ class IcebergTable:
             f"CALL {self.catalog}.system.rollback_to_snapshot('{self.ident}', {snapshot_id})"
         )
 
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact row count from the snapshot SUMMARY ('total-records') —
+        metadata only, no table scan; None if the summary lacks it (the
+        caller treats None as 'unknown' and keeps the conservative path)."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return 0
+        rows = self.spark.sql(
+            f"SELECT summary['total-records'] FROM {self.ident}.snapshots "
+            f"WHERE snapshot_id = {v}"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else None
+
+    def has_new(self, consumed: int, latest: int) -> bool:
+        """True iff *latest* holds rows not yet consumed. Iceberg snapshot
+        ids are RANDOM longs — no ordering exists, so the SnapshotTable
+        gate ``latest > consumed`` is meaningless here (ADVICE r2 #2);
+        the correct test is inequality against the recorded consumed id
+        (the driver always records the id it drained, and snapshots only
+        accumulate on the append-only inbox)."""
+        return latest != 0 and latest != consumed
+
     # -- I/O -----------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         if version == 0:
@@ -86,6 +108,27 @@ class IcebergTable:
         if version is None:
             return spark.table(self.ident)
         return spark.read.option("snapshot-id", version).table(self.ident)
+
+    def read_new(self, spark: SparkSession, since: int, upto: int | None = None) -> DataFrame:
+        """Rows appended AFTER snapshot *since*, up to *upto*: Iceberg's
+        incremental scan (``start-snapshot-id`` exclusive /
+        ``end-snapshot-id`` inclusive read options). ``since == 0`` means
+        nothing was ever consumed — read the whole table as of *upto*.
+        The seed-inbox drain depends on this (ADVICE r2 #2: IcebergTable
+        previously had no read_new at all, so the first streamed seed
+        raised AttributeError on this backend)."""
+        if upto is None:
+            upto = self.latest_version()
+        if upto == 0 or upto == since:
+            return spark.createDataFrame([], self.schema)
+        if since == 0:
+            return self.read(spark, upto)
+        return (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", since)
+            .option("end-snapshot-id", upto)
+            .load(self.ident)
+        )
 
     def append(self, df: DataFrame, n_buckets: int | None = None, parent: int | None = None) -> int:
         # orphan fencing ≙ SnapshotTable parent pinning: snapshots written

@@ -106,6 +106,30 @@ class SnapshotTable:
         self._write_manifest(v, [commit])
         return v
 
+    def row_count(self, version: int | None = None) -> int:
+        """Exact row count of a version from parquet FOOTER metadata —
+        driver-side file reads only, no Spark job. Used as the scheduler's
+        small-round hint (politeness._global_rank picks the single-pass
+        top-k path when the frontier is actually small, instead of paying
+        the range-sample + offsets passes sized for round_limit)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for commit in self._read_manifest(
+            self.latest_version() if version is None else version
+        ):
+            for f in os.listdir(commit):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(commit, f)).metadata.num_rows
+        return total
+
+    def has_new(self, consumed: int, latest: int) -> bool:
+        """True iff *latest* holds rows not yet consumed. SnapshotTable
+        versions are monotonic integers, so ordering is meaningful here;
+        IcebergTable overrides this with an inequality test (its snapshot
+        ids are random longs)."""
+        return latest > consumed
+
     def read_new(self, spark: SparkSession, since: int, upto: int | None = None) -> DataFrame:
         """Rows appended after version *since*, up to *upto* (default
         latest): the manifest-file diff — incremental-scan analog of
