@@ -57,8 +57,35 @@ def run_level(master: str, rows: int, mode: str = "core-only") -> dict:
     return json.loads(out)
 
 
+def _load_json(name: str):
+    p = os.path.join(REPO, "BENCH", name)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    # r3 crawl A/B artifacts (BENCH/crawl_ab.py, BENCH/crawl_engine_ab.py)
+    ab = _load_json("crawl_ab.json")
+    eng = _load_json("crawl_engine_ab.json")
+    crawl_ab_note = (
+        f"{ab['wall_ratio_min']}x wall for {ab['workload_ratio_scheduled']}x scheduled rows"
+        if ab
+        else "see BENCH/crawl_ab.json"
+    )
+    r1_engine_walls = (
+        "/".join(str(w) for w in eng["legs"]["r1_engine"]["walls"]) if eng else "n/a"
+    )
+    engine_ab_note = (
+        f"current engine {eng['legs']['current']['min_wall_sec']} s (min of "
+        f"{eng['legs']['current']['walls']}) vs r1 engine "
+        f"{eng['legs']['r1_engine']['min_wall_sec']} s interleaved — wall ratio "
+        f"{eng['engine_wall_ratio_min']}"
+        if eng
+        else "see BENCH/crawl_engine_ab.json"
+    )
     # hardware-ceiling calibration per level: pure-CPU perfect-parallel job;
     # the engine cannot out-scale the silicon the VM actually grants
     calib = {
@@ -161,16 +188,35 @@ moment seen crosses the line). At the 10^10 target the per-round saving
 is the entire seen-side shuffle — the dominant cost at that scale. The
 per-round `bloom_scale` leg of bench.py re-measures this regime.
 
-## Crawl-bench workload note (r2)
+r3 adds the PARTITION-ALIGNED probe (`probe_partitioned`, VERDICT r2 #2):
+above `DEFAULT_BROADCAST_MAX_BYTES` (512 MB of bitsets ≈ 4×10^8 seen) the
+bitsets never touch the driver — candidate keys cogroup with their shard
+on `pmod(host_hash, n_shards)` and only the bloom-positive keys come back
+(broadcast re-attach). Parity-tested against the broadcast probe
+(tests/test_bloom.py); the `bloom_scale` bench leg measures BOTH probes
+per round (`bloom_part_*` fields in BENCH_r{{N}}.json) so the dispatch
+threshold stays honest.
 
-The r2 crawl bench is NOT the r1 workload: seed-lineage clearnet traversal
-(the round-1 judge's top gap) adds clearnet traversal rows and revisit
-cycles (8,398 scheduled vs 7,644 in r1, +10%), the fixture gains hidden
-onion hosts + always-200 clearnet chains, and pages/seen are now
-onion-only. Crawl wall 39.6 s (r1) → ~55 s (r2) reflects that extra
-semantic work plus shared-VM variance; the fused-Observation round loop
-(r2) is ~30% FASTER like-for-like (measured 40 s → 29 s on the identical
-6-round profile before/after the fusion).
+## Crawl-bench A/B evidence (r3 — VERDICT r2 #1 closed)
+
+The r1→r2 crawl-leg delta (39.6 s → 73.2 s recorded) decomposes into
+three measured parts (BENCH/crawl_ab.json, BENCH/crawl_engine_ab.json —
+all interleaved fresh-JVM passes):
+
+1. **Workload is NOT the cause.** Same engine, traversal on vs off
+   (clearnet seed traversal = the r2 semantic addition): +13% scheduled
+   rows costs ~0% wall (ratio {crawl_ab_note}). The crawl leg is
+   per-round FIXED overhead at this fixture scale.
+2. **VM drift is a large part.** The r1 engine ITSELF, re-run interleaved
+   today, takes {r1_engine_walls} s — its recorded 39.6 s came from a
+   faster VM window (the same drift shows in the core bench: 625k urls/s
+   and 330k urls/s measured hours apart on identical code).
+3. **A real engine regression existed and is FIXED.** With
+   round_limit=100k every round took `_global_rank`'s two-phase path
+   (range-sample pass + offsets collect = ~2 extra executions of the
+   whole upstream chain per round). r3 adds a row-count hint read from
+   parquet footers / Iceberg snapshot summaries (no Spark job) so the
+   dispatch follows the ACTUAL frontier size: {engine_ab_note}.
 
 ## Reference baseline
 

@@ -40,11 +40,19 @@ BENCH_KNOBS = dict(n_onion_hosts=2000, pages_per_host=15, hub_hosts=5, hub_facto
 
 
 def _ensure_bench_fixture(spark) -> str:
-    """Generate-once, cache as parquet (deterministic; seed=42)."""
+    """Generate-once, cache as parquet (deterministic; seed=42). The cache
+    tag includes a hash of the generator source: a fixture cached before a
+    generator change must never be silently reused (the r2 crawl-bench
+    artifact ran on a cache generated before the clearnet-chain fixture
+    change — exactly this staleness)."""
+    import hashlib
+
+    from tor_spider_spark.fixtures import corpus as corpus_mod
     from tor_spider_spark.fixtures.corpus import FixtureKnobs, generate_fixture
     from tor_spider_spark.plans.driver import write_fixture
 
-    tag = "-".join(str(v) for v in BENCH_KNOBS.values())
+    gen_hash = hashlib.md5(open(corpus_mod.__file__, "rb").read()).hexdigest()[:8]
+    tag = "-".join(str(v) for v in BENCH_KNOBS.values()) + "-" + gen_hash
     path = os.path.join(CACHE, f"fixture-{tag}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
@@ -56,7 +64,7 @@ def _ensure_bench_fixture(spark) -> str:
     return path
 
 
-def bench_crawl(spark, rounds: int = 8) -> dict:
+def bench_crawl(spark, rounds: int = 8, seed_traversal_depth: int | None = None) -> dict:
     import tempfile
 
     from tor_spider_spark.plans.driver import CrawlDriver
@@ -66,7 +74,14 @@ def bench_crawl(spark, rounds: int = 8) -> dict:
     seeds = spark.read.parquet(os.path.join(path, "seeds"))
     robots = spark.read.parquet(os.path.join(path, "robots"))
     blacklist = open(os.path.join(path, "blacklist.txt")).read().splitlines()
-    cfg = CrawlConfig(max_rounds=rounds, default_host_budget=64, round_limit=100_000)
+    # traversal knob for like-for-like workload A/B: depth 0 disables the
+    # clearnet seed traversal (the r1 workload shape); default = engine
+    # default (env override SPARK_GRAFT_CRAWL_TRAVERSAL for subprocess runs)
+    if seed_traversal_depth is None:
+        env = os.environ.get("SPARK_GRAFT_CRAWL_TRAVERSAL")
+        seed_traversal_depth = int(env) if env is not None else None
+    extra = {} if seed_traversal_depth is None else {"seed_traversal_depth": seed_traversal_depth}
+    cfg = CrawlConfig(max_rounds=rounds, default_host_budget=64, round_limit=100_000, **extra)
     run_dir = tempfile.mkdtemp(prefix="bench-crawl-")
     drv = CrawlDriver(spark, run_dir, corpus, seeds, robots, blacklist, cfg)
     t0 = time.time()
@@ -221,7 +236,8 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
 
     run_once(None)  # warmup
     exact = min(run_once(None) for _ in range(3))
-    probe = bloom.probe(shards)
+    probe = bloom.probe_broadcast(shards)
+    probe_part = bloom.probe_partitioned(shards)
     # the probe ships 2 longs/row through Arrow — large batches amortize
     # the per-batch UDF overhead (safe here: no payload columns in flight;
     # measured 1.12x -> 1.40x at seen=40M). Restored after the runs.
@@ -230,8 +246,14 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
     try:
         run_once(probe)
         blm = min(run_once(probe) for _ in range(3))
+        # the partition-aligned cogroup probe (the ≥10^9-seen deployment
+        # path, VERDICT r2 #2) measured on the same inputs: its extra cost
+        # vs broadcast is the slim-key exchange + shard shuffle
+        run_once(probe_part)
+        blm_part = min(run_once(probe_part) for _ in range(3))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+        probe.release()
         # release the 40M-row localCheckpoint blocks: legs that run after
         # this one (the crawl) were measured 15-25% slower under the heap
         # pressure they leave behind
@@ -243,9 +265,12 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
         "dup_share": dup_share,
         "exact_wall_sec": round(exact, 2),
         "bloom_wall_sec": round(blm, 2),
+        "bloom_part_wall_sec": round(blm_part, 2),
         "exact_urls_per_sec": round(n_cand / exact, 1),
         "bloom_urls_per_sec": round(n_cand / blm, 1),
+        "bloom_part_urls_per_sec": round(n_cand / blm_part, 1),
         "bloom_speedup": round(exact / blm, 3),
+        "bloom_part_speedup": round(exact / blm_part, 3),
     }
 
 

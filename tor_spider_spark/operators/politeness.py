@@ -67,7 +67,12 @@ def collapse_candidates(frontier: DataFrame) -> DataFrame:
 _SMALL_ROUND = 65536
 
 
-def _global_rank(df: DataFrame, round_limit: int, persisted_out: list | None = None) -> DataFrame:
+def _global_rank(
+    df: DataFrame,
+    round_limit: int,
+    persisted_out: list | None = None,
+    size_hint: int | None = None,
+) -> DataFrame:
     """Total-order global rank (1-based) in the frozen W3 order.
 
     Small rounds (the reference envelope: MINIMUM_JOBS=64-scale batches)
@@ -77,8 +82,16 @@ def _global_rank(df: DataFrame, round_limit: int, persisted_out: list | None = N
     partitions, add per-partition offsets (one tiny driver collect) — no
     single-partition shuffle anywhere, so a 10^7-row round ranks in
     parallel.
-    """
-    if round_limit <= _SMALL_ROUND:
+
+    *size_hint* is an UPPER BOUND on df's rows (the driver reads it off
+    the frontier's parquet footers — no job). Both paths produce the
+    identical rank, so the dispatch is purely physical; without the hint a
+    large round_limit forced every round onto the two-phase path, whose
+    range-sample pass + offsets collect re-execute the whole upstream
+    chain — measured at ~2 extra passes per crawl round on rounds of a
+    few thousand rows (r2 crawl-bench regression, VERDICT r2 #1)."""
+    effective = min(round_limit, size_hint) if size_hint is not None else round_limit
+    if effective <= _SMALL_ROUND:
         topk = df.orderBy(*total_order()).limit(round_limit)
         w = Window.orderBy(*total_order())
         return topk.withColumn("rank", F.row_number().over(w))
@@ -123,6 +136,7 @@ def schedule_round(
     round_no: int,
     cfg: CrawlConfig,
     persisted_out: list | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Steps 2 of the frozen semantics → `scheduled` with a global rank.
 
@@ -155,7 +169,7 @@ def schedule_round(
     budgeted = eligible.withColumn("_hr", F.row_number().over(host_w)).where(
         F.col("_hr") <= F.col("_budget")
     )
-    ranked = _global_rank(budgeted, cfg.round_limit, persisted_out)
+    ranked = _global_rank(budgeted, cfg.round_limit, persisted_out, size_hint)
     return ranked.where(F.col("rank") <= cfg.round_limit).select(
         F.lit(round_no).alias("round"),
         "rank",

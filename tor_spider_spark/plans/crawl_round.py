@@ -54,6 +54,7 @@ def run_round(
     blacklist_patterns: list[str],
     cfg: CrawlConfig,
     bloom_probe=None,
+    frontier_rows: int | None = None,
 ) -> RoundResult:
     from pyspark.sql import Observation
 
@@ -66,7 +67,12 @@ def run_round(
     persisted: list = []
     obs_sched = Observation()
     scheduled = (
-        schedule_round(candidates, robots, host_state, round_no, cfg, persisted)
+        # frontier_rows (parquet-footer metadata, no job) upper-bounds the
+        # candidate count, letting the ranker skip the two-phase path on
+        # small rounds regardless of round_limit
+        schedule_round(
+            candidates, robots, host_state, round_no, cfg, persisted, size_hint=frontier_rows
+        )
         .observe(obs_sched, F.count(F.lit(1)).alias("n"))
         .persist()
     )
@@ -199,9 +205,23 @@ def run_round(
     # transitively (discovered groupBy reads every fetched partition), so
     # every Observation above is complete when read below
     n_discovered = new_frontier_rows.count()
-    n_scheduled = int(obs_sched.get["n"])
-    n_admitted = int(obs_adm.get["n"])
-    raw_onion = obs_pages.get["n_onion"]
+
+    def _obs(observation, key, fallback):
+        # when a round's chain goes empty at runtime, AQE's empty-relation
+        # propagation can skip executing a cached subtree entirely — its
+        # CollectMetrics never fires and Observation.get throws. The
+        # fallback counts the persisted DataFrame directly (cheap: either
+        # cached or a near-empty plan in exactly this case).
+        try:
+            return observation.get[key]
+        except Exception:
+            return fallback()
+
+    n_scheduled = int(_obs(obs_sched, "n", scheduled.count))
+    n_admitted = int(_obs(obs_adm, "n", admitted.count))
+    raw_onion = _obs(
+        obs_pages, "n_onion", fetched.where(onion_url_col(F.col("url"))).count
+    )
     n_pages = int(n_pages_override if n_pages_override is not None else (raw_onion or 0))
 
     frontier_next = frontier_remainder.select(*[f.name for f in frontier.schema.fields]).unionByName(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -119,11 +120,17 @@ class CrawlDriver:
         self.seeds = seeds
         self.robots = robots
         self.blacklist = blacklist_patterns
-        self.bloom = (
-            BloomShards(self.cfg.n_buckets, m_bits=1 << 20, k=self.cfg.bloom_num_hashes)
-            if use_bloom
-            else None
-        )
+        if use_bloom:
+            if self.cfg.bloom_capacity:
+                per_shard_bits = self.cfg.bloom_bits_per_key * self.cfg.bloom_capacity
+                m_bits = 1 << max(20, (per_shard_bits // self.cfg.n_buckets).bit_length())
+            else:
+                m_bits = 1 << 20
+            self.bloom = BloomShards(
+                self.cfg.n_buckets, m_bits=m_bits, k=self.cfg.bloom_num_hashes
+            )
+        else:
+            self.bloom = None
 
     def _seed_frontier(self, round_no: int, periodic_only: bool) -> DataFrame:
         return self._frontier_rows(self.seeds, round_no, periodic_only)
@@ -160,6 +167,9 @@ class CrawlDriver:
             seen = t["seen"].read(spark, pinned["seen"])
             host_state = t["host_state"].read(spark, pinned["host_state"])
             blooms = t["bloom_shards"].read(spark, pinned["bloom_shards"])
+            # scheduler small-round hint: exact count from table metadata
+            # (parquet footers / Iceberg snapshot summary) — no Spark job
+            frontier_rows = t["frontier"].row_count(pinned["frontier"])
         else:
             pinned = {name: 0 for name in _TABLES}
             start = 0
@@ -167,6 +177,7 @@ class CrawlDriver:
             seen = t["seen"].read(spark, 0)
             host_state = t["host_state"].read(spark, 0)
             blooms = t["bloom_shards"].read(spark, 0)
+            frontier_rows = self.seeds.count()  # one tiny startup job
 
         summary = CrawlSummary()
         # seen row count for the bloom gate comes from the checkpoint (the
@@ -178,16 +189,26 @@ class CrawlDriver:
             seen_count = seen.count()  # pre-r2 checkpoint: count once
         else:
             seen_count = 0
+        # per-phase wall profiling (SPARK_GRAFT_PROFILE=1): the crawl-bench
+        # wall is dominated by per-round FIXED overhead, so the breakdown
+        # (round compute vs table writes vs commit/readback) is the first
+        # thing to look at when it regresses
+        prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
         for rnd in range(start, max_rounds):
+            t_round0 = time.time()
             # drain the streamed seed inbox (S1/S2): versions newer than the
             # checkpoint-consumed one inject as one-shot seed rows THIS
-            # round; periodic inbox rows re-enqueue below like static seeds
+            # round; periodic inbox rows re-enqueue below like static seeds.
+            # has_new is backend-specific: monotonic int compare on
+            # SnapshotTable, id inequality on Iceberg (snapshot ids are
+            # random longs — ADVICE r2 #2)
             inbox_v = t["seed_inbox"].latest_version()
-            if inbox_v > pinned["seed_inbox"]:
+            if t["seed_inbox"].has_new(pinned["seed_inbox"], inbox_v):
                 fresh = t["seed_inbox"].read_new(spark, pinned["seed_inbox"], inbox_v)
                 frontier = frontier.unionByName(
                     self._frontier_rows(fresh, rnd, periodic_only=False)
                 )
+                frontier_rows = None  # injected rows uncounted: hint unknown
             if frontier.isEmpty():
                 break
             # adaptive probe: bloom short-circuit only once `seen` is big
@@ -197,6 +218,7 @@ class CrawlDriver:
                 if self.bloom and seen_count >= cfg.bloom_min_seen
                 else None
             )
+            t_pre = time.time()
             res = run_round(
                 rnd,
                 frontier,
@@ -208,11 +230,13 @@ class CrawlDriver:
                 self.blacklist,
                 cfg,
                 bloom_probe=probe,
+                frontier_rows=frontier_rows,
             )
+            t_compute = time.time()
             frontier_next = res.frontier_next.unionByName(
                 self._seed_frontier(rnd + 1, periodic_only=True)
             )
-            if inbox_v > 0:
+            if inbox_v != 0:
                 # streamed periodic seeds follow the same recrawl rule
                 frontier_next = frontier_next.unionByName(
                     self._frontier_rows(
@@ -267,9 +291,11 @@ class CrawlDriver:
                 # former blocking per-round localCheckpoint job)
                 blooms_next = self.bloom.update(blooms, res.new_seen, rnd)
                 jobs["bloom_shards"] = lambda: t["bloom_shards"].overwrite(blooms_next)
+            t_wr0 = time.time()
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 futures = {name: pool.submit(fn) for name, fn in jobs.items()}
                 versions = {name: fut.result() for name, fut in futures.items()}
+            t_wr1 = time.time()
             if not self.bloom:
                 versions["bloom_shards"] = t["bloom_shards"].latest_version()
             # record the consumed inbox version (the round's seed injections
@@ -287,13 +313,30 @@ class CrawlDriver:
 
             for df in res.persisted:  # round is committed; release cache
                 df.unpersist(False)
+            if probe is not None:
+                # free the probe's broadcast bitsets now instead of waiting
+                # for Python GC — they grow with seen and there is one per
+                # round (ADVICE r2 #5)
+                probe.release()
             # roll state from the committed snapshots (lineage truncation)
             frontier = t["frontier"].read(spark, versions["frontier"])
+            frontier_rows = t["frontier"].row_count(versions["frontier"])
             seen = t["seen"].read(spark, versions["seen"])
             host_state = t["host_state"].read(spark, versions["host_state"])
             if self.bloom:
                 blooms = t["bloom_shards"].read(spark, versions["bloom_shards"])
 
+            if prof:
+                _log.warning(
+                    "prof round=%d drain=%.2f compute=%.2f mid=%.2f writes=%.2f tail=%.2f total=%.2f",
+                    rnd,
+                    t_pre - t_round0,
+                    t_compute - t_pre,
+                    t_wr0 - t_compute,
+                    t_wr1 - t_wr0,
+                    time.time() - t_wr1,
+                    time.time() - t_round0,
+                )
             # status heartbeat (reference logs registry.Statuses() on a
             # ticker, main.go:178-196 — here once per committed round)
             _log.info(
