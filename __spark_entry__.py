@@ -269,6 +269,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stream_tumbling_counts(spark, os.path.join(sf, "events.parquet"))
 
+    def stream_update_counts(spark, sf):
+        # the PRODUCTION streaming sink (VERDICT r2 #8): update mode +
+        # foreachBatch upsert into a keyed snapshot table; single-drop
+        # drain here ≡ the batch aggregation (multi-trigger incremental
+        # equivalence proven in tests/test_streaming_update.py)
+        from tor_spider_spark.streaming.windows import stream_update_counts as _suc
+
+        return _suc(spark, os.path.join(sf, "events.parquet"))
+
     def sessionize(spark, sf):  # session windows (gap > 30 min) — the
         # event-time stateful-streaming analog, batch-expressed
         from pyspark.sql import Window
@@ -307,6 +316,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def hash64(spark, sf):  # C5: url_hash (no SQL oracle — Spark-specific hash)
         return _t(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
+
+    def hash64_md5(spark, sf):  # C5 oracle-able variant (VERDICT r2 #7):
+        # the md5-derived 60-bit hash is reproducible in DuckDB, like the
+        # dedup_simhash token hash; production stays xxhash64 (hash64)
+        from tor_spider_spark.operators.dedup import md5_60bit_hash
+
+        return _t(spark, sf, "documents").select(
+            "doc_id", md5_60bit_hash(F.col("text")).alias("h")
+        )
+
+    def extract_links(spark, sf):  # C2 raw-HTML variant (SURVEY §2.9 #3):
+        # real html.parser tokenization over a deterministic HTML column
+        # built from documents (entity &amp; included — the oracle must
+        # unescape, proving this is a parse, not a regex scrape)
+        from tor_spider_spark.functions.html import extract_links as _xl
+
+        d = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit('<html><body><a href="/doc/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">self</a><p>no links here</p><a target="_blank" href="http://ex.com/'),
+            F.col("lang"),
+            F.lit('?a=1&amp;b=2">out</a><a name="anchor-only"></a></body></html>'),
+        )
+        return d.select("doc_id", F.explode(_xl(html)).alias("href"))
 
     def approx_distinct(spark, sf):  # A6 (no oracle: approximate by design)
         return (
@@ -414,9 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": json_extract,
         "tumbling_window": tumbling_window,
         "stream_windowed_counts": stream_windowed_counts,
+        "stream_update_counts": stream_update_counts,
         "sessionize": sessionize,
         "rollup_agg": rollup_agg,
         "hash64": hash64,
+        "hash64_md5": hash64_md5,
+        "extract_links": extract_links,
         "approx_distinct": approx_distinct,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -583,6 +620,23 @@ def oracle_sql() -> dict[str, str]:
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",
+        "stream_update_counts": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+                   event_type, count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2""",
+        "hash64_md5": """
+            select doc_id, ('0x' || substr(md5(text), 1, 15))::bigint as h
+            from documents""",
+        "extract_links": """
+            with h as (select doc_id,
+                   '<html><body><a href="/doc/' || doc_id ||
+                   '">self</a><p>no links here</p><a target="_blank" href="http://ex.com/' ||
+                   lang || '?a=1&amp;b=2">out</a><a name="anchor-only"></a></body></html>'
+                   as html from documents)
+            select doc_id,
+                   unnest(list_transform(regexp_extract_all(html, 'href="([^"]*)"', 1),
+                                         s -> replace(s, '&amp;', '&'))) as href
+            from h""",
         "rollup_agg": """
             select coalesce(r_name, 'ALL') as r_name,
                    coalesce(n_name, 'ALL') as n_name,
