@@ -384,6 +384,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Catalyst per-pair dot product is ~50x slower at sf0.1
         return embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.4)
 
+    def dedup_embedding_clusters(spark, sf):
+        # vector near-dup pairs → connected components: "keep one item per
+        # embedding-duplicate cluster" — composes the blocked-BLAS pair
+        # stage with the pointer-jumping component pass
+        from tor_spider_spark.operators.dedup import connected_components
+
+        pairs = embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.4)
+        return connected_components(pairs).select(
+            F.col("doc_id").alias("vec_id"), "cluster"
+        )
+
     def ann_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -417,6 +428,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum("nt").cast("long").alias("total_tokens"),
                 F.round(F.avg("nt"), 4).alias("avg_tokens"),
             )
+        )
+
+    def bpe_token_count(spark, sf):
+        # BPE-style pre-tokenization count (GPT-2 pattern family, rewritten
+        # without lookahead so Java regex and DuckDB RE2 agree) — the
+        # "token counting" a training-data pipeline budgets by; native
+        # regexp_extract_all, no UDF
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+
+    def training_keeplist(spark, sf):
+        # the end-to-end pipeline step a training run consumes: exact-dedup
+        # keepers ∘ quality gate → the doc ids that survive — proves the
+        # ops COMPOSE (semi-join on the dedup keeper set, then the pure-
+        # Catalyst quality predicate)
+        d = _t(spark, sf, "documents")
+        keepers = exact_dedup_groups(d.select("doc_id", "text")).select(
+            F.col("keeper_doc_id").alias("doc_id")
+        )
+        return (
+            d.join(keepers, "doc_id", "left_semi")
+            .where(quality_ok_col(F.col("text")))
+            .select("doc_id", "lang")
         )
 
     def lang_id(spark, sf):  # marker-count heuristic; oracle below replays it in SQL
@@ -461,15 +500,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
+        "bpe_token_count": bpe_token_count,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "text_quality": text_quality,
         "token_count": token_count,
+        "training_keeplist": training_keeplist,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
 
+
+# GPT-2-family pre-tokenizer pattern, lookahead-free (RE2-compatible):
+# contractions | space?letters | space?digits | space?punct-run | whitespace
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 _SHINGLE_CTE = """
 with toks as (select doc_id, regexp_split_to_array(text,'\\s+') l from documents),
@@ -694,6 +740,30 @@ def oracle_sql() -> dict[str, str]:
             where round(list_sum([a.v[k] * b.v[k] for k in generate_series(1, 64)])
                          / (sqrt(list_sum([a.v[k] * a.v[k] for k in generate_series(1, 64)]))
                           * sqrt(list_sum([b.v[k] * b.v[k] for k in generate_series(1, 64)]))), 4) >= 0.4""",
+        "dedup_embedding_clusters": """
+            with recursive
+            e as (select vec_id, embedding::double[] as v from embeddings),
+            pairs as (
+              select a.vec_id as i, b.vec_id as j
+              from e a join e b on a.vec_id < b.vec_id
+              where round(list_sum([a.v[k] * b.v[k] for k in generate_series(1, 64)])
+                         / (sqrt(list_sum([a.v[k] * a.v[k] for k in generate_series(1, 64)]))
+                          * sqrt(list_sum([b.v[k] * b.v[k] for k in generate_series(1, 64)]))), 4) >= 0.4),
+            edges as (select i as a, j as b from pairs
+                      union all
+                      select j as a, i as b from pairs),
+            nodes as (select distinct a as node from edges),
+            reach(node, label) as (
+              select node, node from nodes
+              union
+              select e2.a, r.label from edges e2 join reach r on e2.b = r.node
+            )
+            select node as vec_id, min(label) as cluster from reach group by node""",
+        "bpe_token_count": f"""
+            select doc_id,
+                   len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::bigint
+                   as n_bpe_tokens
+            from documents""",
         "ann_cosine_topk": """
             with e as (select vec_id, embedding::double[] as v from embeddings),
             scored as (
@@ -722,6 +792,16 @@ def oracle_sql() -> dict[str, str]:
                    and (length(text) * 1.0 / greatest(len(regexp_split_to_array(text, '\\s+')), 1) <= 40)
                    as quality_ok
             from documents""",
+        "training_keeplist": """
+            with keepers as (select min(doc_id) as doc_id from documents group by md5(text))
+            select d.doc_id, d.lang
+            from documents d
+            join keepers using (doc_id)
+            where (len(regexp_split_to_array(d.text, '\\s+')) between 5 and 100000)
+              and (length(regexp_replace(d.text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
+                   / greatest(length(d.text), 1) <= 0.3)
+              and (length(d.text) * 1.0
+                   / greatest(len(regexp_split_to_array(d.text, '\\s+')), 1) <= 40)""",
         "token_count": """
             select lang, count(*) as n_docs,
                    sum(len(regexp_split_to_array(text, '\\s+')))::bigint as total_tokens,

@@ -315,9 +315,12 @@ _BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
     "ann_cosine_topk",
     "text_quality",
     "token_count",
+    "bpe_token_count",
+    "extract_links",
 ]
 
 

@@ -51,3 +51,28 @@ def test_audio_stub_plumbing(spark):
     assert r["clip_id"] == "clip0"
     assert abs(r["duration_s"] - 2.0) < 1e-6
     assert 6000 < r["rms"] < 8000  # sine rms ≈ amplitude/sqrt(2)
+
+
+def test_video_frame_sampling(spark):
+    """Frame sampler: every n-th frame of the fixture container comes back
+    as its own row, pixel-exact (PNG is lossless), with frame numbers
+    preserved; null payloads and foreign blobs are skipped."""
+    from tor_spider_spark.multimodal import encode_video, sample_video_frames
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(7)]
+    df = spark.createDataFrame(
+        [
+            ("vid0", encode_video(frames)),
+            ("vid1", None),
+            ("vid2", b"not-a-video"),
+        ],
+        "video_id string, bytes binary",
+    )
+    got = sample_video_frames(df, every_n=3).collect()
+    by_no = {r["frame_no"]: r for r in got}
+    assert {r["video_id"] for r in got} == {"vid0"}
+    assert sorted(by_no) == [0, 3, 6]  # every 3rd of 7 frames
+    for no, r in by_no.items():
+        assert (r["w"], r["h"]) == (10, 12)
+        assert np.array_equal(decode_png(bytes(r["bytes"])), frames[no])

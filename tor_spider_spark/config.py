@@ -57,6 +57,13 @@ class CrawlConfig:
     # capacity=10^10, n_buckets=4096 → 2^25 bits (4 MB)/shard, 16 GB
     # total — which is why the partition-aligned probe exists.
     bloom_capacity: int | None = None
+    # host-dimension broadcast dispatch: robots/host_state broadcast into
+    # the politeness/robots joins while their combined row count stays
+    # under this (≈20 MB at ~100 B/row); above it the joins fall back to
+    # shuffle joins on host (bucket-aligned on the Iceberg layout). The
+    # driver decides from metadata row counts — in-memory/empty relations
+    # carry no usable stats for Catalyst's auto-broadcast.
+    broadcast_dim_max_rows: int = 200_000
     # probe short-circuit pays off only when `seen` is large enough that
     # the exact anti-join shuffle dominates; below this row count the
     # shards are still MAINTAINED every round (cheap, incremental — they

@@ -102,6 +102,69 @@ def resize_images(images: DataFrame, target: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(fn, RESIZED)
 
 
+VIDEO_FRAMES = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ]
+)
+
+# deterministic fake video container (the plumbing-exercise stand-in for
+# mp4: this container ships no ffmpeg): magic + frame count, then
+# length-prefixed PNG frames
+_VID_MAGIC = b"TSVID1"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Fixture-side encoder for the fake container (list of HxWx3 uint8)."""
+    out = [_VID_MAGIC, len(frames).to_bytes(4, "big")]
+    for px in frames:
+        blob = encode_png(px)
+        out.append(len(blob).to_bytes(4, "big"))
+        out.append(blob)
+    return b"".join(out)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: (video_id, bytes) → every n-th frame as its own
+    row (PNG re-encoded), the shape a caption/embedding stage consumes.
+    mapInPandas so one task streams Arrow batches and EXPLODES rows
+    without materializing all frames of a batch in Python at once.
+
+    STUB boundary (clearly marked): the container parser below reads the
+    fixture's length-prefixed-PNG format; a real deployment replaces
+    `_iter_frames` with an ffmpeg/PyAV demux — every Spark-side piece
+    (schema, batch iteration, row explosion, partitioning) is unchanged."""
+
+    def _iter_frames(blob: bytes):
+        # STUB decode — real impl: av.open(io.BytesIO(blob)).decode(video=0)
+        if not blob.startswith(_VID_MAGIC):
+            return
+        n = int.from_bytes(blob[6:10], "big")
+        off = 10
+        for i in range(n):
+            ln = int.from_bytes(blob[off : off + 4], "big")
+            off += 4
+            yield i, decode_image(blob[off : off + ln])
+            off += ln
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
+                if blob is None:
+                    continue
+                for i, px in _iter_frames(bytes(blob)):
+                    if i % every_n == 0:
+                        rows.append((vid, i, encode_png(px), px.shape[1], px.shape[0]))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES.fields])
+
+    return videos.select("video_id", "bytes").mapInPandas(fn, VIDEO_FRAMES)
+
+
 def extract_audio_features(clips: DataFrame) -> DataFrame:
     """STUB: audio decode requires libsndfile/ffmpeg, absent here.
     The Spark plumbing (schema, mapInPandas batch shape) is real and

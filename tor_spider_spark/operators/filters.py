@@ -109,6 +109,7 @@ def admit(
     seen: DataFrame,
     blacklist_patterns: list[str],
     bloom_probe=None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Frozen step 4: scheduled → admitted. Seed-lineage rows skip the
     blacklist and the onion URL filter (the reference's seed collector has
@@ -125,8 +126,11 @@ def admit(
             F.col("is_seed") | ~blacklist_pred(F.col("url"), blacklist_patterns)
         )
     s = s.where(F.col("is_seed") | onion_url_col(F.col("url")))
+    # robots scales with hosts: the driver dispatches broadcast_dims from
+    # its metadata row counts (see politeness.schedule_round r3 note)
+    maybe_bc = F.broadcast if broadcast_dims else (lambda df: df)
     s = (
-        s.join(F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")
+        s.join(maybe_bc(robots.select("host", "disallow_prefixes")), "host", "left")
         .where(
             F.col("disallow_prefixes").isNull()
             | ~F.exists(

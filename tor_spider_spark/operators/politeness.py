@@ -137,21 +137,26 @@ def schedule_round(
     cfg: CrawlConfig,
     persisted_out: list | None = None,
     size_hint: int | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Steps 2 of the frozen semantics → `scheduled` with a global rank.
 
-    robots is broadcast (small dim, SURVEY §2.3 J4); host_state joins on
-    host (bucketed key at scale).
+    robots/host_state are one row per host — small on the fixture, 10^7+
+    rows at full scale, where a forced broadcast is a driver OOM. Catalyst
+    cannot decide from stats here (in-memory relations and empty tables
+    carry unknown/max size), so the DRIVER decides from its metadata row
+    counts and passes *broadcast_dims*: True ⇒ the r2 broadcast plan;
+    False ⇒ a shuffle join on host (bucket-aligned on the Iceberg layout)
+    — the same dual-regime dispatch the bloom probe does (SURVEY §2.3 J4).
     """
+    maybe_bc = F.broadcast if broadcast_dims else (lambda df: df)
     c = (
         candidates.join(
-            F.broadcast(robots.select("host", "crawl_delay_ms", "max_per_round")),
+            maybe_bc(robots.select("host", "crawl_delay_ms", "max_per_round")),
             "host",
             "left",
         )
-        # broadcast locally (host_state is one row per crawled host); at
-        # 10^7-host scale this becomes a bucket-aligned join on host_hash
-        .join(F.broadcast(host_state.select("host", "last_fetch_round")), "host", "left")
+        .join(maybe_bc(host_state.select("host", "last_fetch_round")), "host", "left")
         .withColumn("_delay_rounds", F.coalesce(F.floor(F.col("crawl_delay_ms") / 1000), F.lit(0)))
         .withColumn("_budget", F.coalesce("max_per_round", F.lit(cfg.default_host_budget)))
     )

@@ -55,6 +55,7 @@ def run_round(
     cfg: CrawlConfig,
     bloom_probe=None,
     frontier_rows: int | None = None,
+    broadcast_dims: bool = True,
 ) -> RoundResult:
     from pyspark.sql import Observation
 
@@ -71,7 +72,14 @@ def run_round(
         # candidate count, letting the ranker skip the two-phase path on
         # small rounds regardless of round_limit
         schedule_round(
-            candidates, robots, host_state, round_no, cfg, persisted, size_hint=frontier_rows
+            candidates,
+            robots,
+            host_state,
+            round_no,
+            cfg,
+            persisted,
+            size_hint=frontier_rows,
+            broadcast_dims=broadcast_dims,
         )
         .observe(obs_sched, F.count(F.lit(1)).alias("n"))
         .persist()
@@ -82,7 +90,7 @@ def run_round(
 
     obs_adm = Observation()
     admitted = (
-        admit(scheduled, robots, seen, blacklist_patterns, bloom_probe)
+        admit(scheduled, robots, seen, blacklist_patterns, bloom_probe, broadcast_dims)
         .observe(obs_adm, F.count(F.lit(1)).alias("n"))
         .persist()
     )

@@ -170,6 +170,7 @@ class CrawlDriver:
             # scheduler small-round hint: exact count from table metadata
             # (parquet footers / Iceberg snapshot summary) — no Spark job
             frontier_rows = t["frontier"].row_count(pinned["frontier"])
+            host_state_rows = t["host_state"].row_count(pinned["host_state"])
         else:
             pinned = {name: 0 for name in _TABLES}
             start = 0
@@ -178,6 +179,8 @@ class CrawlDriver:
             host_state = t["host_state"].read(spark, 0)
             blooms = t["bloom_shards"].read(spark, 0)
             frontier_rows = self.seeds.count()  # one tiny startup job
+            host_state_rows = 0
+        robots_rows = self.robots.count()  # once per run; dim dispatch below
 
         summary = CrawlSummary()
         # seen row count for the bloom gate comes from the checkpoint (the
@@ -231,6 +234,13 @@ class CrawlDriver:
                 cfg,
                 bloom_probe=probe,
                 frontier_rows=frontier_rows,
+                # host-dim joins broadcast only while the dims are KNOWN
+                # small (metadata counts; cfg.broadcast_dim_max_rows) —
+                # at 10^7-host scale they become shuffle joins instead of
+                # a forced driver-side broadcast
+                broadcast_dims=(
+                    robots_rows + (host_state_rows or 0) <= cfg.broadcast_dim_max_rows
+                ),
             )
             t_compute = time.time()
             frontier_next = res.frontier_next.unionByName(
@@ -321,6 +331,7 @@ class CrawlDriver:
             # roll state from the committed snapshots (lineage truncation)
             frontier = t["frontier"].read(spark, versions["frontier"])
             frontier_rows = t["frontier"].row_count(versions["frontier"])
+            host_state_rows = t["host_state"].row_count(versions["host_state"])
             seen = t["seen"].read(spark, versions["seen"])
             host_state = t["host_state"].read(spark, versions["host_state"])
             if self.bloom:
