@@ -470,6 +470,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_min(winnow_fingerprints(F.col("text"))).alias("min_fp"),
         )
 
+    def doc_fingerprint_md5(spark, sf):
+        # oracle-able winnowing (md5-60bit gram hash — exact DuckDB window
+        # replay); production fingerprinting stays on the polynomial hash
+        from tor_spider_spark.functions.text import winnow_fingerprints_md5
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", F.explode(winnow_fingerprints_md5(F.col("text"))).alias("fp")
+        )
+
     return {
         "crawl_pages_3rounds": crawl_pages_3rounds,
         "q1_pricing_summary": q1_pricing_summary,
@@ -510,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_keeplist": training_keeplist,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_fingerprint_md5": doc_fingerprint_md5,
     }
 
 
@@ -730,6 +741,25 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as doc_id, min(label) as cluster from reach group by node""",
         "lang_id": _LANG_ID_SQL,
+        "doc_fingerprint_md5": """
+            with pos as (
+              select doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 0))) as i
+              from documents),
+            h as (select doc_id, i,
+                         ('0x' || substr(md5(substr(text, i::int, 5)), 1, 15))::bigint as h,
+                         count(*) over (partition by doc_id) as n
+                  from pos),
+            w as (select doc_id, n, i,
+                         min(h) over (partition by doc_id order by i
+                                      rows between current row and 7 following) as m,
+                         count(*) over (partition by doc_id order by i
+                                        rows between current row and 7 following) as c,
+                         min(h) over (partition by doc_id) as gmin
+                  from h)
+            select distinct doc_id, case when n <= 8 then gmin else m end as fp
+            from w
+            where n <= 8 or c = 8""",
         "dedup_embedding_cosine": """
             with e as (select vec_id, embedding::double[] as v from embeddings)
             select a.vec_id as i, b.vec_id as j,

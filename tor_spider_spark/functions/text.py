@@ -90,6 +90,38 @@ _FP_BASE = np.uint64(1000003)
 
 
 @pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints_md5(text: pd.Series) -> pd.Series:
+    """Oracle-able winnowing variant (the dedup_simhash/hash64_md5 trick):
+    the 5-CHAR-gram hash is the md5-derived 60-bit value DuckDB can
+    reproduce (('0x'||substr(md5(g),1,15))::bigint), so the whole
+    winnow — window-8 minima over character positions, distinct —
+    replays as pure SQL (window min + frame-count filter; the
+    doc_fingerprint_md5 CORRECTNESS row). Production fingerprinting
+    stays on the fast polynomial hash (winnow_fingerprints below);
+    same selection logic, different gram hash."""
+    import hashlib
+
+    out = []
+    for t in text:
+        if t is None or len(t) < _FP_SHINGLE:
+            out.append([])
+            continue
+        h = np.array(
+            [
+                int(hashlib.md5(t[i : i + _FP_SHINGLE].encode("utf-8")).hexdigest()[:15], 16)
+                for i in range(len(t) - _FP_SHINGLE + 1)
+            ],
+            dtype=np.int64,
+        )
+        if len(h) <= _FP_WINDOW:
+            mins = np.array([h.min()])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, _FP_WINDOW).min(axis=1)
+        out.append(np.unique(mins).tolist())
+    return pd.Series(out)
+
+
+@pandas_udf(ArrayType(LongType()))
 def winnow_fingerprints(text: pd.Series) -> pd.Series:
     """Winnowing document fingerprints (Schleimer et al. 2003, public
     algorithm): rolling polynomial hash over char 5-grams, per-window
