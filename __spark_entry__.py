@@ -408,6 +408,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return ivf_ann_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
+    def ann_ivf_full(spark, sf):
+        # n_probe == n_cells probes every inverted list ⇒ the IVF machinery
+        # (normalize → quantize → probe → exact re-rank) must equal brute
+        # force EXACTLY — which gives the IVF path a real SQL oracle (the
+        # approximate default stays recall-tested)
+        e = _t(spark, sf, "embeddings")
+        return ivf_ann_topk(e, e.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16)
+
     def text_quality(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
@@ -515,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_full": ann_ivf_full,
         "text_quality": text_quality,
         "token_count": token_count,
         "training_keeplist": training_keeplist,
@@ -794,6 +803,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::bigint
                    as n_bpe_tokens
             from documents""",
+        "ann_ivf_full": """
+            with e as (select vec_id, embedding::double[] as v from embeddings),
+            scored as (
+              select q.vec_id as query_id, c.vec_id as neighbor_id,
+                     list_sum([q.v[k] * c.v[k] for k in generate_series(1, 64)])
+                     / (sqrt(list_sum([q.v[k] * q.v[k] for k in generate_series(1, 64)]))
+                      * sqrt(list_sum([c.v[k] * c.v[k] for k in generate_series(1, 64)]))) as cos
+              from e q join e c on q.vec_id < 10 and q.vec_id != c.vec_id)
+            select query_id, neighbor_id, rank from (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored) where rank <= 5""",
         "ann_cosine_topk": """
             with e as (select vec_id, embedding::double[] as v from embeddings),
             scored as (
