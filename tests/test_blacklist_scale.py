@@ -147,6 +147,34 @@ def test_scale_pred_blocks_subdomains_like_regex(spark):
         assert got[u] == want == any(bool(p.search(u)) for p in pats), u
 
 
+def test_scale_pred_preserves_backreference_semantics(spark):
+    """Patterns with backreferences must NOT be folded into the chunked
+    alternation (ADVICE r3 #2): `(?:(aa)\\1)|(?:(zz)\\1)` renumbers the
+    groups so the second `\\1` points at the FIRST pattern's (unmatched)
+    group and that branch silently matches NOTHING. Group-sensitive
+    patterns get their own rlike; the whole predicate must equal the
+    per-pattern re.search oracle."""
+    patterns = [f".*{('z'*10)}{i:05d}.onion.*" for i in range(200)]  # force scale path
+    patterns += [r"/(aa)\1", r"(zz)\1"]  # backrefs: /aaaa and zzzz
+    urls = [
+        "http://" + "a" * 16 + ".onion/zzzz",  # matches (zz)\1 ONLY with correct numbering
+        "http://" + "b" * 16 + ".onion/aaaa",  # matches /(aa)\1
+        "http://" + "c" * 16 + ".onion/zzaa",  # matches neither (blocked-looking decoy)
+        "http://" + "d" * 16 + ".onion/ok",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["m"]
+        for r in df.select(
+            "url", scale_blacklist_pred(F.col("url"), patterns).alias("m")
+        ).collect()
+    }
+    pats = [re.compile(p) for p in patterns]
+    for u in urls:
+        assert got[u] == any(bool(p.search(u)) for p in pats), u
+    assert got[urls[0]] and got[urls[1]] and not got[urls[2]] and not got[urls[3]]
+
+
 def test_small_blacklist_still_uses_rlike_path(spark, smoke_fixture):
     # the reference's own 4-pattern shape stays on the codegen rlike path
     # and matches the same Python oracle

@@ -119,6 +119,62 @@ def test_partitioned_probe_matches_broadcast(spark):
         assert got_p[(xxh64(f"u{i}"), xxh64(f"h{i % 3}"))]
 
 
+def test_partitioned_probe_duplicate_candidates_cardinality(spark):
+    """Cardinality preservation with DUPLICATE candidate keys (ADVICE r3
+    #3): probe_broadcast adds a column in place (never changes row count);
+    probe_partitioned re-attaches positives via a join, which before the
+    dropDuplicates fix multiplied n duplicate keys into n² rows."""
+    bs = BloomShards(n_shards=4, m_bits=1 << 16, k=7)
+    items = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 3}"), 0) for i in range(50)], SEEN
+    )
+    shards = bs.update(spark.createDataFrame([], BLOOM_SHARDS), items, 0).localCheckpoint()
+    # every inserted key appears 3×, every absent key 2×
+    cand = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 3}")) for i in range(50)] * 3
+        + [(xxh64(f"none{i}"), xxh64(f"h{i % 3}")) for i in range(40)] * 2,
+        "url_hash long, host_hash long",
+    ).localCheckpoint()
+    n_in = cand.count()
+    for probe in (bs.probe_broadcast(shards), bs.probe_partitioned(shards)):
+        out = probe(cand)
+        assert out.count() == n_in == 230
+        by_hash = {r["url_hash"]: r["_bloom_maybe"] for r in out.collect()}
+        for i in range(50):
+            assert by_hash[xxh64(f"u{i}")], "false negative through dup-key path"
+
+
+def test_partitioned_probe_reattach_broadcast_guard(spark):
+    """The positive-key re-attach broadcasts only under a caller-supplied
+    candidate bound (VERDICT r3 wrong #3): hinted-small → forced broadcast
+    join; no hint → plain join (no forced broadcast). Verdicts identical."""
+    bs = BloomShards(n_shards=4, m_bits=1 << 16, k=7)
+    items = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 3}"), 0) for i in range(100)], SEEN
+    )
+    shards = bs.update(spark.createDataFrame([], BLOOM_SHARDS), items, 0).localCheckpoint()
+    cand = spark.createDataFrame(
+        [(xxh64(f"u{i}"), xxh64(f"h{i % 3}")) for i in range(100)]
+        + [(xxh64(f"none{i}"), xxh64(f"h{i % 3}")) for i in range(60)],
+        "url_hash long, host_hash long",
+    ).localCheckpoint()
+
+    hinted = bs.probe_partitioned(shards, candidate_rows_hint=1000)(cand)
+    unhinted = bs.probe_partitioned(shards, candidate_rows_hint=None)(cand)
+    over = bs.probe_partitioned(
+        shards, candidate_rows_hint=BloomShards.REATTACH_BROADCAST_MAX_ROWS + 1
+    )(cand)
+    # the hint forces the broadcast strategy; without it Spark must not be
+    # FORCED to collect an unbounded key set to the driver
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().sparkPlan().toString()
+    for df in (unhinted, over):
+        assert "broadcast" not in df._jdf.queryExecution().logical().toString().lower()
+    as_map = lambda df: {  # noqa: E731
+        (r["url_hash"], r["host_hash"]): r["_bloom_maybe"] for r in df.collect()
+    }
+    assert as_map(hinted) == as_map(unhinted) == as_map(over)
+
+
 def test_probe_dispatch_and_release(spark):
     """probe() picks the partitioned path above broadcast_max_bytes (a
     static knob decision — no scan), and release() on the broadcast path

@@ -157,7 +157,7 @@ class BloomShards:
             .applyInPandas(merge, schema=BLOOM_SHARDS)
         )
 
-    def probe(self, shards: DataFrame) -> BloomProbe:
+    def probe(self, shards: DataFrame, candidate_rows_hint: int | None = None) -> BloomProbe:
         """Returns a :class:`BloomProbe`: candidates -> candidates +
         boolean `_bloom_maybe`. Dispatches on the STATIC total bitset size
         (n_shards × m_bits/8 — known from the knobs, no scan):
@@ -168,9 +168,14 @@ class BloomShards:
         - above it: the partition-aligned cogroup probe
           (``probe_partitioned``) — the 10^10-seen deployment path, where
           collecting every bitset to the driver would be a ~12 GB collect
-          + broadcast (VERDICT r2 #2)."""
+          + broadcast (VERDICT r2 #2).
+
+        ``candidate_rows_hint`` is an upper bound on the candidate set the
+        probe will be applied to (the crawl driver passes round_limit);
+        it gates the partitioned probe's positive-key re-attach broadcast
+        — see :meth:`probe_partitioned`."""
         if self.total_bytes > self.broadcast_max_bytes:
-            return self.probe_partitioned(shards)
+            return self.probe_partitioned(shards, candidate_rows_hint)
         return self.probe_broadcast(shards)
 
     def probe_broadcast(self, shards: DataFrame) -> BloomProbe:
@@ -216,7 +221,15 @@ class BloomShards:
 
         return BloomProbe(apply, broadcast=b_table)
 
-    def probe_partitioned(self, shards: DataFrame) -> BloomProbe:
+    # the positive-key re-attach broadcast is safe only while the
+    # candidate set (hence the maybe-set it bounds) is provably small;
+    # callers that cannot bound it get a shuffle join instead of an
+    # unbounded driver collect+broadcast (VERDICT r3 wrong #3)
+    REATTACH_BROADCAST_MAX_ROWS = 2_000_000
+
+    def probe_partitioned(
+        self, shards: DataFrame, candidate_rows_hint: int | None = None
+    ) -> BloomProbe:
         """Partition-aligned co-located probe — the ≥10^9-seen path.
 
         No bitset ever touches the driver: candidate KEYS (two int64
@@ -240,7 +253,16 @@ class BloomShards:
         removing the driver collect+broadcast entirely, which is the
         point: at the 10^10 target (~12 GB of bitsets) the broadcast
         probe cannot run at all, and this one still pays only the
-        16-byte/row key shuffle plus a shard-to-task shuffle."""
+        16-byte/row key shuffle plus a shard-to-task shuffle.
+
+        Re-attach sizing: the maybe-set is bounded by the candidate count,
+        so the broadcast re-attach is used only when the caller supplies a
+        ``candidate_rows_hint`` ≤ ``REATTACH_BROADCAST_MAX_ROWS`` (the
+        crawl driver passes round_limit — thousands). Without a bound —
+        e.g. an ad-hoc caller probing a whole table — the re-attach falls
+        back to a plain (shuffle) join rather than collecting an unknown
+        number of keys to the driver. Parity between the two join modes is
+        tested in tests/test_bloom.py."""
         m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
         shard_slim = shards.select("shard_id", "bits")
 
@@ -256,6 +278,11 @@ class BloomShards:
             maybe = _test_bits(bits, _positions(uh, k, m_bits))
             return cand.loc[maybe, ["url_hash", "host_hash"]]
 
+        small_enough = (
+            candidate_rows_hint is not None
+            and candidate_rows_hint <= self.REATTACH_BROADCAST_MAX_ROWS
+        )
+
         def apply(candidates: DataFrame) -> DataFrame:
             keys = candidates.select(
                 "url_hash",
@@ -266,10 +293,17 @@ class BloomShards:
                 keys.groupBy("shard_id")
                 .cogroup(shard_slim.groupBy("shard_id"))
                 .applyInPandas(probe_group, schema=_MAYBE_KEYS)
+                # duplicate candidate KEYS would come back once per
+                # occurrence and the left join below would multiply rows
+                # (n dups → n² rows) — probe_broadcast never changes
+                # cardinality, so this probe must not either (ADVICE r3 #3)
+                .dropDuplicates(["url_hash", "host_hash"])
                 .withColumn("_bloom_maybe", F.lit(True))
             )
+            if small_enough:
+                maybe_keys = F.broadcast(maybe_keys)
             return candidates.join(
-                F.broadcast(maybe_keys), ["url_hash", "host_hash"], "left"
+                maybe_keys, ["url_hash", "host_hash"], "left"
             ).withColumn("_bloom_maybe", F.coalesce("_bloom_maybe", F.lit(False)))
 
         return BloomProbe(apply)

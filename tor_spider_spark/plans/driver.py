@@ -217,7 +217,10 @@ class CrawlDriver:
             # adaptive probe: bloom short-circuit only once `seen` is big
             # enough that the exact anti-join shuffle dominates (config.py)
             probe = (
-                self.bloom.probe(blooms)
+                # round_limit bounds the candidate set the probe sees (the
+                # scheduled batch) — lets the partitioned probe keep its
+                # broadcast re-attach; unbounded callers get a shuffle join
+                self.bloom.probe(blooms, candidate_rows_hint=cfg.round_limit)
                 if self.bloom and seen_count >= cfg.bloom_min_seen
                 else None
             )
@@ -237,9 +240,14 @@ class CrawlDriver:
                 # host-dim joins broadcast only while the dims are KNOWN
                 # small (metadata counts; cfg.broadcast_dim_max_rows) —
                 # at 10^7-host scale they become shuffle joins instead of
-                # a forced driver-side broadcast
+                # a forced driver-side broadcast. An UNKNOWN count
+                # (IcebergTable.row_count → None when the snapshot summary
+                # lacks 'total-records') must disable the broadcast, not
+                # enable it: treating None as 0 would force-broadcast
+                # exactly when smallness cannot be proven (ADVICE r3 #1)
                 broadcast_dims=(
-                    robots_rows + (host_state_rows or 0) <= cfg.broadcast_dim_max_rows
+                    host_state_rows is not None
+                    and robots_rows + host_state_rows <= cfg.broadcast_dim_max_rows
                 ),
             )
             t_compute = time.time()

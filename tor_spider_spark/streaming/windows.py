@@ -126,7 +126,11 @@ def stream_update_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow guarantees termination once the backlog drains; block
+    # without a timeout — awaitTermination(300) returned False on a slow
+    # drain and the function handed back a partially-updated sink while
+    # the query kept writing in the background (ADVICE r3 #4)
+    q.awaitTermination()
     return table.read(spark)
 
 
@@ -150,5 +154,5 @@ def stream_tumbling_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination()  # availableNow terminates; see stream_update_counts
     return spark.table(name)
