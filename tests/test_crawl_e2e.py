@@ -57,6 +57,35 @@ def test_engine_matches_simulator(
     assert eng == gold
 
 
+def test_delta_claim_equals_overwrite_claim(
+    spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg
+):
+    """The delta-cost claim (delete scheduled keys + append additions;
+    VERDICT r3 next #1/#4) must produce bit-identical crawl state to the
+    legacy full-overwrite claim: same schedule, seen, pages, and FINAL
+    FRONTIER/HOST_STATE multisets."""
+    import dataclasses
+
+    runs = {}
+    for mode in (True, False):
+        cfg = dataclasses.replace(smoke_cfg, delta_claim=mode, max_rounds=4)
+        drv = _run(
+            spark, tmp_path / f"dc-{mode}", smoke_dfs, smoke_fixture, cfg, use_bloom=False
+        )
+        runs[mode] = {
+            "schedule": sorted(
+                map(tuple, drv.read("schedule").orderBy("round", "rank").collect())
+            ),
+            "seen": sorted(map(tuple, drv.read("seen").collect())),
+            "pages": sorted(
+                map(tuple, drv.read("pages").select("url", "round", "caption").collect())
+            ),
+            "frontier": sorted(map(tuple, drv.read("frontier").collect())),
+            "host_state": sorted(map(tuple, drv.read("host_state").collect())),
+        }
+    assert runs[True] == runs[False]
+
+
 def test_metrics_and_lineage_written(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
     drv = _run(spark, tmp_path / "m", smoke_dfs, smoke_fixture, smoke_cfg, use_bloom=True)
     m = drv.read("metrics")

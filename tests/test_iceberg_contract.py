@@ -71,6 +71,12 @@ class FakeDF:
     def select(self, _cols):
         return self
 
+    def distinct(self):
+        return self
+
+    def createOrReplaceTempView(self, name):
+        self.state.calls.append(f"tempView({name})")
+
     def writeTo(self, ident):
         return FakeWriter(self.state, ident)
 
@@ -131,8 +137,8 @@ class FakeSpark:
                 : self.state.snapshots.index(target) + 1
             ]
             return _Rows()
-        if q.startswith("DELETE FROM"):
-            self.state.new_snapshot()  # delete commits a snapshot too
+        if q.startswith("DELETE FROM") or q.startswith("MERGE INTO"):
+            self.state.new_snapshot()  # row-level ops commit snapshots too
             return _Rows()
         return _Rows()
 
@@ -206,6 +212,66 @@ def test_read_new_nothing_consumable_is_empty(fake):
     t.read_new(spark, 0, 0)  # empty table
     assert len(spark.reads) == before  # no scan issued at all
     assert state.calls[-1] == "createDataFrame(empty)"
+
+
+def test_create_table_requests_merge_on_read(fake):
+    """The delta-cost claim depends on row-level ops writing positional
+    delete files, not copy-on-write rewrites (VERDICT r3 next #1): table
+    DDL must pin the three merge-on-read write modes and the bucket
+    transform."""
+    state = FakeCatalogState()
+    spark = FakeSpark(state)
+    spark.catalog.tableExists = lambda _ident: False  # force the DDL path
+    IcebergTable(spark, "cat", "frontier", schemas.FRONTIER, n_buckets=16)
+    ddl = next(c for c in state.calls if c.startswith("CREATE TABLE"))
+    assert "PARTITIONED BY (bucket(16, host_hash))" in ddl
+    for mode in ("write.delete.mode", "write.update.mode", "write.merge.mode"):
+        assert f"'{mode}'='merge-on-read'" in ddl, ddl
+
+
+def test_claim_merge_delete_then_append_with_fencing(fake):
+    """claim_merge = fence orphans → DELETE the claimed keys (an IN
+    subquery over a temp view — the reference's DeleteMany $in) → append
+    the additions. Order matters: a DELETE before the rollback would
+    delete from an orphan snapshot's state."""
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    t.append(FakeDF(state))  # orphan: round never committed
+    n0 = len(state.calls)
+    v = t.claim_merge(spark, FakeDF(state), FakeDF(state), parent=v1)
+    calls = state.calls[n0:]
+    i_rb = next(i for i, c in enumerate(calls) if "rollback_to_snapshot" in c)
+    i_del = next(i for i, c in enumerate(calls) if c.startswith("DELETE FROM cat.crawl.seen"))
+    i_app = next(i for i, c in enumerate(calls) if c.startswith("writeTo"))
+    assert i_rb < i_del < i_app, calls
+    assert "WHERE url_hash IN (SELECT url_hash FROM" in calls[i_del]
+    assert v == state.snapshots[-1]
+    # two snapshots committed: the positional-delete one and the append
+    assert len(state.snapshots) == 3  # v1 + delete + append (orphan fenced off)
+
+
+def test_claim_merge_on_latest_parent_skips_fence(fake):
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    n0 = len(state.calls)
+    t.claim_merge(spark, FakeDF(state), FakeDF(state), parent=v1)
+    assert not any("rollback" in c for c in state.calls[n0:])
+
+
+def test_upsert_keys_merge_into_sql(fake):
+    """upsert_keys issues one MERGE INTO keyed on ALL key columns with
+    UPDATE SET * / INSERT * branches — the Iceberg-native analog of
+    SnapshotTable.upsert_keys' delete+append."""
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    v = t.upsert_keys(
+        spark, FakeDF(state), key_cols=("host", "host_hash"), parent=v1
+    )
+    merge = next(c for c in state.calls if c.startswith("MERGE INTO cat.crawl.seen"))
+    assert "ON t.host = s.host AND t.host_hash = s.host_hash" in merge
+    assert "WHEN MATCHED THEN UPDATE SET *" in merge
+    assert "WHEN NOT MATCHED THEN INSERT *" in merge
+    assert v == state.snapshots[-1] != v1
 
 
 def test_has_new_uses_identity_not_ordering(fake):

@@ -104,6 +104,116 @@ def test_read_new_returns_manifest_diff(spark, tmp_path):
     assert t.read_new(spark, since=0).count() == 18
 
 
+def test_claim_merge_semantics_and_delta_write_bytes(spark, tmp_path):
+    """The delta-cost claim (VERDICT r3 next #1): delete claimed keys +
+    append additions in one version, rewriting ONLY footer-pruned files.
+    Asserts (a) row semantics equal anti-join+union, (b) untouched file
+    paths are carried into the new manifest verbatim, (c) write bytes of
+    the transition ∝ the claimed batch, not the table."""
+    t = SnapshotTable(
+        str(tmp_path), "frontier_like", SEEN, sort_col="url_hash", max_records_per_file=500
+    )
+    base = spark.createDataFrame([(i, i % 7, 0) for i in range(20_000)], SEEN)
+    v1 = t.overwrite(base, n_buckets=4)
+    table_bytes = t.version_new_bytes(v1, 0)
+    n_files_v1 = sum(len(t._entry_files(e)) for e in t._read_manifest(v1))
+    assert n_files_v1 >= 20  # maxRecordsPerFile really split the buckets
+
+    claimed = spark.createDataFrame([(i,) for i in range(1000, 1050)], "url_hash long")
+    adds = spark.createDataFrame([(i, i % 7, 1) for i in range(100_000, 100_020)], SEEN)
+    v2 = t.claim_merge(spark, claimed, adds, parent=v1, n_buckets=4)
+
+    got = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    expect = sorted((set(range(20_000)) - set(range(1000, 1050))) | set(range(100_000, 100_020)))
+    assert got == expect
+    # sorted+chunked files ⇒ the 50-key range claim touches few files;
+    # every untouched file is the SAME path as in v1 (zero rewrite)
+    v1_files = {f for e in t._read_manifest(v1) for f in t._entry_files(e)}
+    carried = [e for e in t._read_manifest(v2) if e in v1_files]
+    assert len(carried) >= n_files_v1 * 0.6, (len(carried), n_files_v1)
+    delta_bytes = t.version_new_bytes(v2, v1)
+    assert delta_bytes < table_bytes * 0.5, (delta_bytes, table_bytes)
+
+    # a SECOND claim on the new version keeps working (mixed dir/file
+    # manifest) and an empty claim writes only the additions
+    v3 = t.claim_merge(
+        spark,
+        spark.createDataFrame([], "url_hash long"),
+        spark.createDataFrame([(200_000, 0, 2)], SEEN),
+        parent=v2,
+        n_buckets=4,
+    )
+    assert t.read(spark, v3).count() == len(expect) + 1
+    assert t.version_new_bytes(v3, v2) < table_bytes * 0.05  # pure append
+
+
+def test_claim_merge_write_bytes_beat_full_overwrite(spark, tmp_path):
+    """Proportionality evidence for the 'done =' criterion: a small
+    range-clustered claim must write a small fraction of what the legacy
+    full-overwrite claim writes for the SAME logical transition. (Note
+    write bytes are NOT monotone in batch size — deleting most of a file
+    leaves little to rewrite — so the honest metric is delta vs
+    overwrite, not small-batch vs big-batch.)"""
+    t = SnapshotTable(
+        str(tmp_path), "f", SEEN, sort_col="url_hash", max_records_per_file=250
+    )
+    base = spark.createDataFrame([(i, i % 5, 0) for i in range(10_000)], SEEN)
+    v1 = t.overwrite(base, n_buckets=4)
+    empty = spark.createDataFrame([], SEEN)
+    small = spark.createDataFrame([(i,) for i in range(4000, 4200)], "url_hash long")
+    v2 = t.claim_merge(spark, small, empty, parent=v1, n_buckets=4)
+    b_delta = t.version_new_bytes(v2, v1)
+    assert t.read(spark, v2).count() == 9800
+    # the legacy path: full rewrite of the anti-joined table
+    legacy = t.read(spark, v1).join(small, "url_hash", "left_anti")
+    v3 = t.overwrite(legacy, n_buckets=4)
+    b_overwrite = t.version_new_bytes(v3, v1)
+    assert b_delta < 0.35 * b_overwrite, (b_delta, b_overwrite)
+
+
+def test_upsert_keys_replaces_matched_rows(spark, tmp_path):
+    """Keyed delta upsert (host_state / streaming sink shape): matched
+    keys replaced, new keys inserted, everything else carried untouched —
+    join key (host ≙ url_hash here) may differ from the prune column."""
+    from tor_spider_spark.schemas import HOST_STATE
+
+    t = SnapshotTable(
+        str(tmp_path), "hs", HOST_STATE, sort_col="host_hash", max_records_per_file=200
+    )
+    base = spark.createDataFrame([(f"h{i}", i, 0) for i in range(1000)], HOST_STATE)
+    v1 = t.overwrite(base, n_buckets=1)
+    delta = spark.createDataFrame(
+        [(f"h{i}", i, 5) for i in range(10, 20)] + [("h2000", 2000, 5)], HOST_STATE
+    )
+    v2 = t.upsert_keys(
+        spark, delta, key_cols=("host",), prune_col="host_hash", parent=v1, n_buckets=1
+    )
+    rows = {r["host"]: r["last_fetch_round"] for r in t.read(spark, v2).collect()}
+    assert len(rows) == 1001
+    assert all(rows[f"h{i}"] == 5 for i in range(10, 20))
+    assert rows["h2000"] == 5
+    assert rows["h0"] == 0 and rows["h999"] == 0
+    v1_files = {f for e in t._read_manifest(v1) for f in t._entry_files(e)}
+    assert any(e in v1_files for e in t._read_manifest(v2))  # pruning engaged
+
+
+def test_vacuum_partially_live_commit_dirs(spark, tmp_path):
+    """After a delta claim, old commit DIRS are partially live (some files
+    carried by name into newer manifests). vacuum must delete only the
+    dead files and keep every live one readable."""
+    t = SnapshotTable(
+        str(tmp_path), "f", SEEN, sort_col="url_hash", max_records_per_file=300
+    )
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(3000)], SEEN))
+    claimed = spark.createDataFrame([(i,) for i in range(0, 300)], "url_hash long")
+    v2 = t.claim_merge(spark, claimed, spark.createDataFrame([], SEEN), parent=v1)
+    expect = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    removed = t.vacuum(keep_versions=1)  # expire v1
+    assert removed, "the claimed-range files of v1 are dead and removable"
+    got = sorted(r[0] for r in t.read(spark, t.latest_version()).select("url_hash").collect())
+    assert got == expect == sorted(range(300, 3000))
+
+
 def test_checkpoint_log_last(tmp_path):
     log = CheckpointLog(str(tmp_path))
     assert log.last() is None

@@ -74,6 +74,19 @@ class CrawlConfig:
     # 1.4x at 40M; RAM-backed local shuffle flatters the exact path, so a
     # real cluster with network shuffle crosses earlier).
     bloom_min_seen: int = 20_000_000
+    # delta-cost claim (VERDICT r3 next #1/#4): commit each round as
+    # "delete the claimed keys + append the discovered rows" —
+    # SnapshotTable rewrites only footer-pruned files, IcebergTable
+    # issues merge-on-read DELETE/MERGE — instead of rewriting the whole
+    # frontier/host_state per round (O(table) write I/O at the 10^10-URL
+    # design point). False restores the full-overwrite path (A/B lever).
+    delta_claim: bool = True
+    # splits each sorted bucket partition of frontier/host_state commits
+    # into consecutive chunks so claim-key file pruning has narrow
+    # per-file ranges to work with; 0 = one file per bucket (fixture
+    # scale). The 10^10 deployment sets this to the Iceberg target file
+    # size equivalent (e.g. 10^6 rows).
+    table_max_records_per_file: int = 0
     # F9: max stored payload size; the reference ships this disabled
     # (c.MaxBodySize commented out, spider/spider.go:124,170) — None = off.
     # When set, oversized pages are dropped from the pages sink but their

@@ -37,6 +37,10 @@ class RoundResult:
     pages: DataFrame
     frontier_next: DataFrame
     host_state_next: DataFrame
+    # delta-claim decomposition of the two _next tables (driver writes
+    # claim_merge/upsert_keys from these instead of full overwrites):
+    discovered_rows: DataFrame  # the round's NEW frontier rows only
+    host_delta: DataFrame  # hosts whose last_fetch_round changed
     n_scheduled: int
     n_admitted: int
     n_pages: int
@@ -264,6 +268,8 @@ def run_round(
         pages=pages,
         frontier_next=frontier_next,
         host_state_next=host_state_next,
+        discovered_rows=new_frontier_rows.select(*[f.name for f in frontier.schema.fields]),
+        host_delta=touched,
         n_scheduled=n_scheduled,
         n_admitted=n_admitted,
         n_pages=n_pages,

@@ -110,7 +110,23 @@ class CrawlDriver:
                 for n, s in _TABLES.items()
             }
         else:
-            self.tables = {n: SnapshotTable(run_dir, n, s) for n, s in _TABLES.items()}
+            # claim-key clustering for the delta-claim path: frontier
+            # commits sort by url_hash (claims delete by it), host_state
+            # by host_hash (upserts prune by it) — narrow footer ranges
+            # make _prune_entries effective (tables.py)
+            sort_cols = {"frontier": "url_hash", "host_state": "host_hash"}
+            self.tables = {
+                n: SnapshotTable(
+                    run_dir,
+                    n,
+                    s,
+                    sort_col=sort_cols.get(n),
+                    max_records_per_file=(
+                        self.cfg.table_max_records_per_file if n in sort_cols else 0
+                    ),
+                )
+                for n, s in _TABLES.items()
+            }
         self.log = CheckpointLog(run_dir)
         # slim/payload split: frontier math never reads image bytes (§4.4)
         self.corpus_slim = corpus.select("url", "status", "out_links")
@@ -206,11 +222,11 @@ class CrawlDriver:
             # SnapshotTable, id inequality on Iceberg (snapshot ids are
             # random longs — ADVICE r2 #2)
             inbox_v = t["seed_inbox"].latest_version()
+            injected = None  # one-shot inbox rows: in-memory only this round
             if t["seed_inbox"].has_new(pinned["seed_inbox"], inbox_v):
                 fresh = t["seed_inbox"].read_new(spark, pinned["seed_inbox"], inbox_v)
-                frontier = frontier.unionByName(
-                    self._frontier_rows(fresh, rnd, periodic_only=False)
-                )
+                injected = self._frontier_rows(fresh, rnd, periodic_only=False)
+                frontier = frontier.unionByName(injected)
                 frontier_rows = None  # injected rows uncounted: hint unknown
             if frontier.isEmpty():
                 break
@@ -251,12 +267,12 @@ class CrawlDriver:
                 ),
             )
             t_compute = time.time()
-            frontier_next = res.frontier_next.unionByName(
-                self._seed_frontier(rnd + 1, periodic_only=True)
-            )
+            # next-round seed rows (periodic re-seeds + streamed periodic
+            # seeds) — joined into both claim paths below
+            extra_seeds = self._seed_frontier(rnd + 1, periodic_only=True)
             if inbox_v != 0:
                 # streamed periodic seeds follow the same recrawl rule
-                frontier_next = frontier_next.unionByName(
+                extra_seeds = extra_seeds.unionByName(
                     self._frontier_rows(
                         t["seed_inbox"].read(spark, inbox_v), rnd + 1, periodic_only=True
                     )
@@ -291,17 +307,53 @@ class CrawlDriver:
             # below leaves orphan manifests, and the re-run round must not
             # fold their commit dirs in (would duplicate rows on resume).
             jobs: dict[str, Callable[[], int]] = {
-                "frontier": lambda: t["frontier"].overwrite(frontier_next, cfg.n_buckets),
                 "seen": lambda: t["seen"].append(res.new_seen, cfg.n_buckets, parent=pinned["seen"]),
                 "pages": lambda: t["pages"].append(res.pages, cfg.n_buckets, parent=pinned["pages"]),
                 "schedule": lambda: t["schedule"].append(
                     scheduled_projection(res.scheduled), parent=pinned["schedule"]
                 ),
-                "host_state": lambda: t["host_state"].overwrite(res.host_state_next),
                 "metrics": lambda: t["metrics"].append(
                     metrics.unionByName(globals_df), parent=pinned["metrics"]
                 ),
             }
+            if cfg.delta_claim:
+                # DELTA-COST claim (VERDICT r3 next #1/#4): delete the
+                # scheduled keys + append the round's additions — write
+                # I/O ∝ batch, not table (reference DeleteMany $in,
+                # mongojobsstorage.go:165-180). host_state upserts only
+                # the hosts whose last_fetch_round changed this round.
+                additions = res.discovered_rows.unionByName(extra_seeds)
+                if injected is not None:
+                    # one-shot injected rows never reached the stored
+                    # frontier — carry the unscheduled ones forward (the
+                    # legacy overwrite covers them via the in-memory union)
+                    additions = additions.unionByName(
+                        injected.join(
+                            res.scheduled.select("url_hash"), "url_hash", "left_anti"
+                        )
+                    )
+                jobs["frontier"] = lambda: t["frontier"].claim_merge(
+                    spark,
+                    res.scheduled.select("url_hash"),
+                    additions,
+                    parent=pinned["frontier"],
+                    n_buckets=cfg.n_buckets,
+                )
+                jobs["host_state"] = lambda: t["host_state"].upsert_keys(
+                    spark,
+                    res.host_delta,
+                    key_cols=("host",),
+                    prune_col="host_hash",
+                    parent=pinned["host_state"],
+                )
+            else:
+                frontier_next = res.frontier_next.unionByName(extra_seeds)
+                jobs["frontier"] = lambda: t["frontier"].overwrite(
+                    frontier_next, cfg.n_buckets
+                )
+                jobs["host_state"] = lambda: t["host_state"].overwrite(
+                    res.host_state_next
+                )
             if self.bloom:
                 # the overwrite IS the materializing action; next round
                 # reads the committed parquet back (lineage truncation via

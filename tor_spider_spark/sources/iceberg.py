@@ -64,7 +64,18 @@ class IcebergTable:
                 if n_buckets and any(f.name == "host_hash" for f in schema.fields)
                 else ""
             )
-            spark.sql(f"CREATE TABLE {self.ident} ({ddl}) USING iceberg{part}")
+            # merge-on-read: DELETE/UPDATE/MERGE write positional delete
+            # files instead of rewriting data files — the delta-cost
+            # storage behavior claim_merge/upsert_keys depend on at the
+            # 10^10-row frontier (VERDICT r3 next #1); readers apply the
+            # deletes, compaction folds them in
+            props = (
+                " TBLPROPERTIES ("
+                "'write.delete.mode'='merge-on-read',"
+                "'write.update.mode'='merge-on-read',"
+                "'write.merge.mode'='merge-on-read')"
+            )
+            spark.sql(f"CREATE TABLE {self.ident} ({ddl}) USING iceberg{part}{props}")
 
     # -- version bookkeeping (snapshot ids) ---------------------------------
     def latest_version(self) -> int:
@@ -134,12 +145,67 @@ class IcebergTable:
         # orphan fencing ≙ SnapshotTable parent pinning: snapshots written
         # after the checkpoint-pinned parent (a crash mid-round) are rolled
         # back before the re-run's append lands
+        self._fence(parent)
+        df.select([f.name for f in self.schema.fields]).writeTo(self.ident).append()
+        return self.latest_version()
+
+    def _fence(self, parent: int | None) -> None:
+        """Roll back orphan snapshots written after the checkpoint-pinned
+        *parent* (a crash mid-round) before a new write lands — shared by
+        append/claim_merge/upsert_keys."""
         if parent is not None and parent != self.latest_version():
             if parent == 0:
                 self.spark.sql(f"DELETE FROM {self.ident} WHERE true")
             else:
                 self._rollback(parent)
-        df.select([f.name for f in self.schema.fields]).writeTo(self.ident).append()
+
+    def claim_merge(
+        self,
+        spark: SparkSession,
+        claimed_keys: DataFrame,
+        additions: DataFrame,
+        key_col: str = "url_hash",
+        parent: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Delta-cost round transition (VERDICT r3 next #1): DELETE the
+        claimed keys (merge-on-read positional deletes — write cost ∝
+        deleted rows, not table size; the reference's DeleteMany $in,
+        mongojobsstorage.go:165-180), then append the round's additions.
+        Two snapshots; the checkpoint pins the final one, and the fence
+        rolls back both on a crashed round."""
+        self._fence(parent)
+        view = f"_claim_keys_{self.name}"
+        claimed_keys.select(key_col).distinct().createOrReplaceTempView(view)
+        self.spark.sql(
+            f"DELETE FROM {self.ident} WHERE {key_col} IN (SELECT {key_col} FROM {view})"
+        )
+        additions.select([f.name for f in self.schema.fields]).writeTo(self.ident).append()
+        return self.latest_version()
+
+    def upsert_keys(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        key_cols: tuple[str, ...],
+        prune_col: str | None = None,
+        parent: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Keyed upsert via MERGE INTO (merge-on-read): matched keys are
+        replaced, new keys inserted — write cost ∝ the incoming batch
+        (host_state's 1-row-per-host merge; the streaming sink's
+        per-trigger upsert). *prune_col* is unused here: Iceberg prunes
+        from its own column stats."""
+        self._fence(parent)
+        view = f"_upsert_rows_{self.name}"
+        rows.select([f.name for f in self.schema.fields]).createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        self.spark.sql(
+            f"MERGE INTO {self.ident} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
         return self.latest_version()
 
     def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> int:

@@ -36,10 +36,28 @@ from pyspark.sql.types import StructType
 
 
 class SnapshotTable:
-    def __init__(self, root: str, name: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        schema: StructType,
+        sort_col: str | None = None,
+        max_records_per_file: int = 0,
+    ):
         self.root = os.path.join(root, name)
         self.name = name
         self.schema = schema
+        # clustering knobs for the delta-claim path (claim_merge /
+        # upsert_keys): sorting commits on the claim key gives parquet
+        # files/rowgroups NARROW min-max ranges on it, and
+        # maxRecordsPerFile splits each sorted bucket partition into
+        # consecutive chunks — together they make the footer-stat file
+        # pruning effective (Iceberg analog: write.sort-order + target
+        # file size). Defaults off: at fixture scale one file per bucket
+        # is right; the 10^10 deployment sets max_records_per_file so a
+        # claim batch touches O(batch) files, not O(table).
+        self.sort_col = sort_col
+        self.max_records_per_file = max_records_per_file
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
 
@@ -80,8 +98,26 @@ class SnapshotTable:
         if n_buckets and "host_hash" in df.columns:
             # bucket(B, host_hash) analog: co-locates frontier/seen joins
             df = df.repartition(n_buckets, F.pmod(F.col("host_hash"), F.lit(n_buckets)))
-        df.write.parquet(commit)
+        if self.sort_col and self.sort_col in df.columns:
+            df = df.sortWithinPartitions(self.sort_col)
+        writer = df.write
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        writer.parquet(commit)
         return commit
+
+    @staticmethod
+    def _entry_files(entry: str) -> list[str]:
+        """Manifest entries are commit DIRS (append/overwrite) or single
+        parquet FILE paths (untouched files carried through a delta
+        claim). Expand either to concrete parquet files."""
+        if os.path.isdir(entry):
+            return [
+                os.path.join(entry, f)
+                for f in sorted(os.listdir(entry))
+                if f.endswith(".parquet")
+            ]
+        return [entry]
 
     def append(self, df: DataFrame, n_buckets: int | None = None, parent: int | None = None) -> int:
         """New version = *parent*'s files + one new commit dir.
@@ -106,6 +142,155 @@ class SnapshotTable:
         self._write_manifest(v, [commit])
         return v
 
+    # -- delta-cost claim / upsert (VERDICT r3 next #1/#4) --------------------
+    # The reference's claim is delta-cost (DeleteMany $in,
+    # mongojobsstorage.go:165-180); the former per-round full-table
+    # overwrite was O(frontier) write I/O to remove a round_limit-sized
+    # batch — the dominant per-round cost at the 10^10-URL design point.
+    # These methods rewrite ONLY the parquet files whose footer min-max
+    # ranges can contain a deleted key; every other file path is carried
+    # into the new manifest verbatim (zero read, zero write). Iceberg
+    # analog: merge-on-read positional deletes / MERGE INTO
+    # (IcebergTable.claim_merge / upsert_keys).
+
+    # a claim/upsert collects its key batch to the driver for file
+    # pruning; the crawl batch is round_limit rows (thousands). Above
+    # this bound the delta path would itself be driver-heavy, so it
+    # falls back to the full rewrite the old path always paid.
+    DELTA_KEYS_MAX_ROWS = 4_000_000
+
+    def _prune_entries(
+        self, entries: list[str], prune_col: str, sorted_vals: list
+    ) -> tuple[list[str], list[str]]:
+        """Split a manifest's parquet files into (untouched, touched) by
+        rowgroup min-max footer stats on *prune_col*: a file none of whose
+        rowgroup ranges contains any claimed value cannot hold a deleted
+        row. Missing stats → conservatively touched. Driver-side footer
+        reads only — same cost class as row_count()."""
+        import bisect
+
+        import pyarrow.parquet as pq
+
+        untouched, touched = [], []
+        for entry in entries:
+            for path in self._entry_files(entry):
+                md = pq.ParquetFile(path).metadata
+                if md.num_row_groups == 0:
+                    untouched.append(path)  # empty file: nothing to delete
+                    continue
+                col_idx = next(
+                    (
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(0).column(j).path_in_schema == prune_col
+                    ),
+                    None,
+                )
+                hit = False
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics if col_idx is not None else None
+                    if st is None or not st.has_min_max:
+                        hit = True
+                        break
+                    i = bisect.bisect_left(sorted_vals, st.min)
+                    if i < len(sorted_vals) and sorted_vals[i] <= st.max:
+                        hit = True
+                        break
+                (touched if hit else untouched).append(path)
+        return untouched, touched
+
+    def _delta(
+        self,
+        spark: SparkSession,
+        delete_keys: DataFrame,
+        join_cols: list[str],
+        prune_col: str,
+        additions: DataFrame,
+        parent: int | None,
+        n_buckets: int | None,
+    ) -> int:
+        cols = [f.name for f in self.schema.fields]
+        base = self.latest_version() if parent is None else parent
+        entries = self._read_manifest(base)
+        # keep the prune column alongside the join keys (they may differ:
+        # host_state joins on host but prunes on host_hash); the anti-join
+        # below matches on join_cols only, extra columns ride along
+        keys = delete_keys.select(*dict.fromkeys([*join_cols, prune_col])).distinct()
+        vals = sorted(r[0] for r in keys.select(prune_col).distinct().collect())
+        if len(vals) > self.DELTA_KEYS_MAX_ROWS:
+            # unbounded key set: full rewrite (the old overwrite cost)
+            merged = self.read(spark, base).join(keys, join_cols, "left_anti")
+            return self.overwrite(merged.unionByName(additions.select(cols)), n_buckets)
+        new_entries: list[str] = []
+        if vals:
+            untouched, touched = self._prune_entries(entries, prune_col, vals)
+            new_entries.extend(untouched)
+            if touched:
+                rewritten = (
+                    spark.read.schema(self.schema)
+                    .parquet(*touched)
+                    .join(F.broadcast(keys), join_cols, "left_anti")
+                )
+                new_entries.append(self._write_commit(rewritten.select(cols), n_buckets))
+        else:
+            new_entries.extend(entries)
+        new_entries.append(self._write_commit(additions.select(cols), n_buckets))
+        v = self.latest_version() + 1
+        self._write_manifest(v, new_entries)
+        return v
+
+    def claim_merge(
+        self,
+        spark: SparkSession,
+        claimed_keys: DataFrame,
+        additions: DataFrame,
+        key_col: str = "url_hash",
+        parent: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Atomic round transition at delta cost: new version = *parent*'s
+        rows minus every row whose *key_col* is in *claimed_keys*, plus
+        *additions* — write I/O ∝ files containing claimed keys +
+        additions, never O(table). One manifest version = one atomic
+        commit point, exactly like overwrite()."""
+        return self._delta(
+            spark, claimed_keys, [key_col], key_col, additions, parent, n_buckets
+        )
+
+    def upsert_keys(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        key_cols: tuple[str, ...],
+        prune_col: str | None = None,
+        parent: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Keyed upsert at delta cost: rows whose *key_cols* match an
+        incoming row are replaced, everything else untouched (host_state's
+        1-row-per-host merge; the streaming sink's per-trigger upsert —
+        Iceberg MERGE INTO analog). *prune_col* is the column whose footer
+        stats gate the file rewrite (defaults to the first key col; must
+        be carried by *rows*)."""
+        pc = prune_col or key_cols[0]
+        keys = rows.select(*dict.fromkeys([*key_cols, pc]))
+        return self._delta(spark, keys, list(key_cols), pc, rows, parent, n_buckets)
+
+    def version_new_bytes(self, version: int, parent: int) -> int:
+        """Bytes of data files present in *version* but not *parent* —
+        the write cost of the transition, measured driver-side. The
+        delta-claim bench/tests assert this scales with the claimed
+        batch, not the table (VERDICT r3 next #1 'done =' criterion)."""
+        old: set[str] = set()
+        for e in self._read_manifest(parent):
+            old.update(self._entry_files(e))
+        total = 0
+        for e in self._read_manifest(version):
+            for f in self._entry_files(e):
+                if f not in old:
+                    total += os.path.getsize(f)
+        return total
+
     def row_count(self, version: int | None = None) -> int:
         """Exact row count of a version from parquet FOOTER metadata —
         driver-side file reads only, no Spark job. Used as the scheduler's
@@ -115,12 +300,11 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         total = 0
-        for commit in self._read_manifest(
+        for entry in self._read_manifest(
             self.latest_version() if version is None else version
         ):
-            for f in os.listdir(commit):
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(commit, f)).metadata.num_rows
+            for f in self._entry_files(entry):
+                total += pq.ParquetFile(f).metadata.num_rows
         return total
 
     def has_new(self, consumed: int, latest: int) -> bool:
@@ -158,20 +342,38 @@ class SnapshotTable:
 
         latest = self.latest_version()
         keep_cut = max(latest - keep_versions + 1, 1)
-        live: set[str] = set()
+        live_entries: set[str] = set()
         for v in range(keep_cut, latest + 1):
             if os.path.exists(self._manifest_path(v)):
-                live.update(self._read_manifest(v))
+                live_entries.update(self._read_manifest(v))
+        # delta claims reference individual FILES of older commit dirs, so
+        # a dead dir can be partially live — liveness is per-file
+        live_files: set[str] = set()
+        for e in live_entries:
+            if os.path.isdir(e) or os.path.isfile(e):
+                live_files.update(self._entry_files(e))
         removed = []
         for v in range(1, keep_cut):
             # earlier vacuums already deleted their manifests — skip, so a
             # second vacuum of the same table is a no-op, not a crash
             if not os.path.exists(self._manifest_path(v)):
                 continue
-            for commit in self._read_manifest(v):
-                if commit not in live and os.path.isdir(commit):
-                    shutil.rmtree(commit, ignore_errors=True)
-                    removed.append(commit)
+            for entry in self._read_manifest(v):
+                if entry in live_entries:
+                    continue
+                if os.path.isdir(entry):
+                    files = self._entry_files(entry)
+                    if any(f in live_files for f in files):
+                        for f in files:  # partially live: drop dead files only
+                            if f not in live_files:
+                                os.remove(f)
+                                removed.append(f)
+                    else:
+                        shutil.rmtree(entry, ignore_errors=True)
+                        removed.append(entry)
+                elif os.path.isfile(entry) and entry not in live_files:
+                    os.remove(entry)
+                    removed.append(entry)
             os.remove(self._manifest_path(v))
         return removed
 

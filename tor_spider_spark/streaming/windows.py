@@ -73,13 +73,21 @@ def stream_update_counts(
     the complete-mode memory sink (which stays as oracle harness only).
 
     Update mode emits, per micro-batch, the CURRENT value of every
-    (window, event_type) key the batch touched; foreachBatch replaces
-    those keys in the sink table atomically (SnapshotTable manifest swap —
-    Iceberg ``MERGE INTO``/``overwritePartitions`` on a cluster). Because
+    (window, event_type) key the batch touched; foreachBatch upserts
+    those keys into the sink table via ``SnapshotTable.upsert_keys`` —
+    a DELTA write (VERDICT r3 next #2): the batch is range-partitioned
+    and sorted on ``hour`` so sink files hold narrow hour ranges, and the
+    upsert rewrites ONLY footer-pruned files whose hour range the batch
+    touches, carrying every other file path into the new manifest
+    verbatim. Per-trigger write I/O ∝ the batch's keys, not the sink
+    (the old path read + overwrote the whole sink per trigger — O(sink)
+    write amplification). Iceberg analog: ``MERGE INTO`` with
+    merge-on-read (IcebergTable.upsert_keys, contract-tested). Because
     each emitted row carries the full aggregate, the upsert is idempotent
     per key and the table converges to the batch answer after any number
     of triggers — proven incrementally by
-    tests/test_streaming_update.py's two-drop drain, and as a one-drop
+    tests/test_streaming_update.py's two-drop drain (which also asserts
+    the carried-file write-amplification bound), and as a one-drop
     CORRECTNESS oracle row (``stream_update_counts``).
 
     State scale: the streaming agg keeps one state row per open window ×
@@ -105,16 +113,19 @@ def stream_update_counts(
             StructField("sum_value", DoubleType()),
         ]
     )
-    table = SnapshotTable(sink_dir, "windowed_counts", schema)
+    table = SnapshotTable(sink_dir, "windowed_counts", schema, sort_col="hour")
     agg = _windowed_agg(_dir_source(spark, parquet_path), window, watermark)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        changed = batch_df.select("hour", "event_type").distinct()
-        current = table.read(batch_df.sparkSession)
-        merged = current.join(changed, ["hour", "event_type"], "left_anti").unionByName(
-            batch_df.select("hour", "event_type", "n", "sum_value")
+        # range-partition the batch on the prune key so every sink file
+        # covers a narrow hour range — what makes the footer-stat file
+        # pruning inside upsert_keys effective on later triggers
+        rows = batch_df.select("hour", "event_type", "n", "sum_value").repartitionByRange(
+            8, "hour"
         )
-        table.overwrite(merged)
+        table.upsert_keys(
+            batch_df.sparkSession, rows, key_cols=("hour", "event_type"), prune_col="hour"
+        )
 
     q = (
         agg.writeStream.outputMode("update")
