@@ -53,6 +53,36 @@ def test_audio_stub_plumbing(spark):
     assert 6000 < r["rms"] < 8000  # sine rms ≈ amplitude/sqrt(2)
 
 
+def test_audio_wav_roundtrip_real_decode(spark):
+    """WAV payloads decode for REAL via stdlib `wave` (VERDICT r3 next
+    #7): duration honors the header's sample rate (not the stub's fixed
+    16 kHz), multi-channel mixes down, and RMS matches the generated
+    signal exactly — round trip through our own encode_wav."""
+    from tor_spider_spark.multimodal import encode_wav
+
+    sr = 8000
+    t = np.linspace(0, 100, sr * 3)  # 3 s at 8 kHz — stub math would say 1.5 s
+    mono = (np.sin(t) * 12000).astype(np.int16)
+    stereo = np.stack([mono, np.zeros_like(mono)], axis=1)  # mixdown → mono/2
+    df = spark.createDataFrame(
+        [
+            ("wav_mono", encode_wav(mono, sample_rate=sr)),
+            ("wav_stereo", encode_wav(stereo, sample_rate=sr, n_channels=2)),
+            ("raw", mono.tobytes()),  # no RIFF header → documented fallback
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = {r["clip_id"]: r for r in extract_audio_features(df).collect()}
+    expect_rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    assert abs(got["wav_mono"]["duration_s"] - 3.0) < 1e-9
+    assert abs(got["wav_mono"]["rms"] - expect_rms) < 1e-9
+    assert abs(got["wav_stereo"]["duration_s"] - 3.0) < 1e-9
+    assert abs(got["wav_stereo"]["rms"] - expect_rms / 2) < 1e-9
+    # the fallback path interprets the same samples at its fixed 16 kHz
+    assert abs(got["raw"]["duration_s"] - 1.5) < 1e-9
+    assert abs(got["raw"]["rms"] - expect_rms) < 1e-9
+
+
 def test_video_frame_sampling(spark):
     """Frame sampler: every n-th frame of the fixture container comes back
     as its own row, pixel-exact (PNG is lossless), with frame numbers

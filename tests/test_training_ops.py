@@ -158,12 +158,15 @@ def test_lsh_ann_recall_at_k(spark):
     exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_ann_topk(e, q, k=5, dim=16, n_tables=16, bits=6).collect()
+        for r in lsh_ann_topk(e, q, k=5, dim=16).collect()  # shipped defaults
     }
     recall = len(exact & approx) / len(exact)
     # approximate by design; planted near-identical pair must be found
     assert (0, 1) in approx
-    assert recall >= 0.5, recall
+    # shipped-default bar (VERDICT r3 next #5): the (tables, bits) sweep
+    # in the lsh_ann_topk docstring measured 0.93 at the 32,6 default on
+    # this fixture; 0.85 leaves margin only for float-order jitter
+    assert recall >= 0.85, recall
 
 
 def test_ivf_build_once_query_many_recall(spark):

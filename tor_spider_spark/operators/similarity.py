@@ -285,12 +285,27 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int,
     dim: int,
-    n_tables: int = 8,
-    bits: int = 8,
+    n_tables: int = 32,
+    bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 table.
+
+    Shipped defaults (VERDICT r3 next #5 — measured recall@5 vs
+    cosine_topk on the 200×16-dim gaussian fixture, 20 queries, seed 42):
+
+        (tables, bits): 16,6→0.76   16,5→0.92   32,6→0.93 (default)
+                        32,5→0.98   32,4→1.00   64,6→1.00
+        candidate fraction at 32,6: ~43% of the corpus per query.
+
+    The high candidate fraction is inherent to UNSTRUCTURED (gaussian)
+    data at low dim — random-hyperplane collisions need high cosine to be
+    selective (p = (1 − θ/π)^bits per table), and random vectors cluster
+    near θ ≈ π/2. On real embedding corpora (clustered, higher dim) the
+    same knobs prune far harder; when sub-linear candidates matter more
+    than bucket-join simplicity, use ivf_build/ivf_query (recall ≥0.9 at
+    n_probe=4/16 cells, tested).
 
     Shuffle discipline (VERDICT r1): the bucket join ships ONLY
     (id, table, bucket) triples — never the embedding vectors, which at
