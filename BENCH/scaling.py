@@ -224,6 +224,39 @@ all interleaved fresh-JVM passes):
    parquet footers / Iceberg snapshot summaries (no Spark job) so the
    dispatch follows the ACTUAL frontier size: {engine_ab_note}.
 
+## Delta-cost claim write path (r4 — VERDICT r3 next #1/#2/#4 closed)
+
+The per-round frontier claim and host_state merge are DELTA writes
+(`SnapshotTable.claim_merge`/`upsert_keys`): untouched parquet files are
+carried into the new manifest by path; only files whose footer host-range
+can contain a claimed key rewrite. Claim tables use a host-RANGE layout
+(repartitionByRange + sortWithinPartitions(host_hash, url_hash)):
+hash-bucketed files each tile the full hash range, which degrades min-max
+pruning ×n_buckets (measured: 8 claimed hosts touched 66/505
+bucket-sorted files vs 8/509 range-partitioned). Measured on a 5M-row
+frontier in 509 files (BENCH/delta_claim.json):
+
+| claim shape | batch | hosts | bytes written / table | files carried |
+|---|---|---|---|---|
+| host-clustered (scheduler shape, budget 8) | 64 | 8 | **1.6%** | 501/509 |
+| host-clustered | 512 | 64 | 12% | 448/509 |
+| host-clustered | 4096 | 512 | 63% | 189/509 |
+| url-scattered (worst case) | 4096 | 4096 | 100% (saturated) | 3/509 |
+| legacy full overwrite | 64 | — | 100% every round | 0 |
+
+Rewritten-file count follows 1-exp(-hosts/files): ∝ claimed hosts below
+saturation — at the 10^10 design point (~10^7 files) a 10^5-host round
+rewrites ~1% of the table instead of 100%. Past saturation the delta path
+costs what the old overwrite always cost (never more); the design-point
+answer there is the Iceberg backend's merge-on-read DELETE/MERGE INTO
+(O(batch) positional-delete records regardless of layout) — DDL pins the
+merge-on-read write modes and the call sequences are contract-tested
+(tests/test_iceberg_contract.py); the jar cannot execute in this sandbox.
+Crawl-wall cost of the delta path at fixture scale: +6.6% on the warm
+interleaved pass, inside the ±30% VM band (BENCH/claim_ab.json). The
+streaming update sink upserts through the same machinery (per-trigger
+write ∝ batch keys; tests/test_streaming_update.py asserts carried files).
+
 ## Reference baseline
 
 The reference publishes no benchmark numbers (BASELINE.md §1); its

@@ -114,7 +114,12 @@ class CrawlDriver:
             # commits sort by url_hash (claims delete by it), host_state
             # by host_hash (upserts prune by it) — narrow footer ranges
             # make _prune_entries effective (tables.py)
-            sort_cols = {"frontier": "url_hash", "host_state": "host_hash"}
+            # frontier sorts (host_hash, url_hash): the scheduler's claim
+            # batches are HOST-clustered (per-host top-k), so host-range
+            # pruning touches ≈ one file run per claimed host — url-sorted
+            # files would cross-match every bucket's ranges instead
+            # (measured in BENCH/delta_claim.json)
+            sort_cols = {"frontier": ("host_hash", "url_hash"), "host_state": "host_hash"}
             self.tables = {
                 n: SnapshotTable(
                     run_dir,
@@ -124,6 +129,11 @@ class CrawlDriver:
                     max_records_per_file=(
                         self.cfg.table_max_records_per_file if n in sort_cols else 0
                     ),
+                    # host-RANGE layout on the claim tables: hash-bucketed
+                    # files each tile the full hash range, defeating the
+                    # min-max pruning the delta claim depends on (see
+                    # SnapshotTable.range_partition)
+                    range_partition=n in sort_cols,
                 )
                 for n, s in _TABLES.items()
             }
@@ -334,8 +344,11 @@ class CrawlDriver:
                     )
                 jobs["frontier"] = lambda: t["frontier"].claim_merge(
                     spark,
-                    res.scheduled.select("url_hash"),
+                    # host_hash rides along for host-range file pruning
+                    # (url determines host, so pruning on it is sound)
+                    res.scheduled.select("url_hash", "host_hash"),
                     additions,
+                    prune_col="host_hash",
                     parent=pinned["frontier"],
                     n_buckets=cfg.n_buckets,
                 )

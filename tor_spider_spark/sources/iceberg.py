@@ -165,6 +165,7 @@ class IcebergTable:
         claimed_keys: DataFrame,
         additions: DataFrame,
         key_col: str = "url_hash",
+        prune_col: str | None = None,  # Iceberg prunes from its own stats
         parent: int | None = None,
         n_buckets: int | None = None,
     ) -> int:

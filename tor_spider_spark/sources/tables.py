@@ -10,6 +10,10 @@ same *semantics* on plain parquet:
 - ``append`` writes a new commit dir and a manifest = old files + new
   (no rewrite of existing data — same shape as an Iceberg append);
 - ``overwrite`` writes a manifest pointing only at the new commit;
+- ``claim_merge``/``upsert_keys`` (r4) delete/replace keyed rows at
+  DELTA cost: untouched parquet files are carried into the new manifest
+  by PATH, only footer-pruned files rewrite (Iceberg merge-on-read
+  DELETE / MERGE INTO analog — see IcebergTable);
 - readers pin an explicit version (time travel); the ``CheckpointLog``
   records, per round, every table's version — the checkpoint file IS the
   atomic commit point for the round (write temp + rename), so a killed
@@ -41,8 +45,9 @@ class SnapshotTable:
         root: str,
         name: str,
         schema: StructType,
-        sort_col: str | None = None,
+        sort_col: str | tuple[str, ...] | None = None,
         max_records_per_file: int = 0,
+        range_partition: bool = False,
     ):
         self.root = os.path.join(root, name)
         self.name = name
@@ -56,8 +61,20 @@ class SnapshotTable:
         # file size). Defaults off: at fixture scale one file per bucket
         # is right; the 10^10 deployment sets max_records_per_file so a
         # claim batch touches O(batch) files, not O(table).
-        self.sort_col = sort_col
+        self.sort_col = (sort_col,) if isinstance(sort_col, str) else sort_col
         self.max_records_per_file = max_records_per_file
+        # range_partition: commits repartitionByRange(sort_col) instead of
+        # hash-bucketing, so file min-max ranges on the claim key tile the
+        # key space ONCE globally. Hash-bucketed files each tile the FULL
+        # range (a bucket's keys are uniform over int64), so any claimed
+        # key range-matches one file in EVERY bucket and min-max pruning
+        # degrades ×n_buckets (measured: 8 claimed hosts touched 66/505
+        # bucket-sorted files vs ≤16 range-partitioned — BENCH/
+        # delta_claim.json). Plain parquet gains nothing from hash buckets
+        # anyway (no storage-partitioned joins without a metastore); the
+        # real-Iceberg backend keeps bucket(B, host_hash) and prunes from
+        # its own column-stats metadata instead.
+        self.range_partition = range_partition
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
 
@@ -95,11 +112,18 @@ class SnapshotTable:
 
     def _write_commit(self, df: DataFrame, n_buckets: int | None) -> str:
         commit = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
-        if n_buckets and "host_hash" in df.columns:
+        if (
+            self.range_partition
+            and n_buckets
+            and self.sort_col
+            and all(c in df.columns for c in self.sort_col)
+        ):
+            df = df.repartitionByRange(n_buckets, *[F.col(c) for c in self.sort_col])
+        elif n_buckets and "host_hash" in df.columns:
             # bucket(B, host_hash) analog: co-locates frontier/seen joins
             df = df.repartition(n_buckets, F.pmod(F.col("host_hash"), F.lit(n_buckets)))
-        if self.sort_col and self.sort_col in df.columns:
-            df = df.sortWithinPartitions(self.sort_col)
+        if self.sort_col and all(c in df.columns for c in self.sort_col):
+            df = df.sortWithinPartitions(*self.sort_col)
         writer = df.write
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
@@ -135,8 +159,10 @@ class SnapshotTable:
         return v
 
     def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> int:
-        """New version referencing only the new commit (atomic snapshot swap
-        — the claim step's DeleteMany analog, SURVEY §2.1 S6)."""
+        """New version referencing only the new commit (atomic snapshot
+        swap). Since r4 the claim step uses :meth:`claim_merge` (the
+        delta-cost DeleteMany analog, SURVEY §2.1 S6); overwrite remains
+        for compaction, the legacy claim path, and whole-table refreshes."""
         commit = self._write_commit(df.select([f.name for f in self.schema.fields]), n_buckets)
         v = self.latest_version() + 1
         self._write_manifest(v, [commit])
@@ -245,6 +271,7 @@ class SnapshotTable:
         claimed_keys: DataFrame,
         additions: DataFrame,
         key_col: str = "url_hash",
+        prune_col: str | None = None,
         parent: int | None = None,
         n_buckets: int | None = None,
     ) -> int:
@@ -252,9 +279,28 @@ class SnapshotTable:
         rows minus every row whose *key_col* is in *claimed_keys*, plus
         *additions* — write I/O ∝ files containing claimed keys +
         additions, never O(table). One manifest version = one atomic
-        commit point, exactly like overwrite()."""
+        commit point, exactly like overwrite().
+
+        *prune_col* (default *key_col*) picks which column's footer
+        ranges gate the file rewrite; it may differ from the join key
+        ONLY when the table's prune_col value is functionally determined
+        by its key (the frontier claim prunes on host_hash while deleting
+        by url_hash — sound because url determines host, so every row
+        with a claimed url_hash sits in a file whose host_hash range
+        contains that key's host_hash). The scheduler's batches are
+        HOST-clustered (per-host top-k), so with commits sorted by
+        (host_hash, url_hash) a claim touches ≈ one file run per claimed
+        host — independent of bucket count, unlike url_hash pruning,
+        whose uniform keys cross-match every bucket's url ranges
+        (measured in BENCH/delta_claim.json)."""
         return self._delta(
-            spark, claimed_keys, [key_col], key_col, additions, parent, n_buckets
+            spark,
+            claimed_keys,
+            [key_col],
+            prune_col or key_col,
+            additions,
+            parent,
+            n_buckets,
         )
 
     def upsert_keys(
