@@ -488,8 +488,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.explode(winnow_fingerprints_md5(F.col("text"))).alias("fp")
         )
 
+    def claim_merge_delta(spark, sf):
+        """S6 through the REAL storage machinery (r4 delta claim): orders
+        snapshotted into a SnapshotTable (host-range layout, chunked
+        files), then one claim_merge deletes the keys ≡0 mod 97 and
+        appends customer-derived rows — the oracle replays it as
+        anti-filter ∪ union. Exercises footer pruning, carried-file
+        manifests, and the delete anti-join end to end."""
+        from tor_spider_spark.sources.tables import SnapshotTable
+
+        base = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        root = tempfile.mkdtemp(prefix="claim-oracle-")
+        t = SnapshotTable(
+            root, "orders_claim", base.schema, sort_col="o_orderkey",
+            max_records_per_file=2000, range_partition=True,
+        )
+        v1 = t.overwrite(base, n_buckets=8)
+        claimed = base.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+        adds = (
+            _t(spark, sf, "customer")
+            .where(F.col("c_custkey") % 50 == 0)
+            .select(
+                (-F.col("c_custkey")).alias("o_orderkey"),
+                F.col("c_custkey").alias("o_custkey"),
+                F.round("c_acctbal", 2).alias("o_totalprice"),
+            )
+        )
+        v2 = t.claim_merge(
+            spark, claimed, adds, key_col="o_orderkey", parent=v1, n_buckets=8
+        )
+        return t.read(spark, v2)
+
+    def upsert_keys_delta(spark, sf):
+        """Keyed delta upsert through the REAL storage machinery (r4,
+        host_state / streaming-sink shape): keys ≡0 mod 101 get their
+        price zeroed, five new negative keys insert, everything else is
+        carried by file path — oracle replays it as CASE + union."""
+        from tor_spider_spark.sources.tables import SnapshotTable
+
+        base = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        root = tempfile.mkdtemp(prefix="upsert-oracle-")
+        t = SnapshotTable(
+            root, "orders_upsert", base.schema, sort_col="o_orderkey",
+            max_records_per_file=2000, range_partition=True,
+        )
+        v1 = t.overwrite(base, n_buckets=8)
+        delta = base.where(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice", F.lit(0.0)
+        ).unionByName(
+            spark.range(1, 6).select(
+                (-F.col("id")).alias("o_orderkey"),
+                F.lit(0).cast("long").alias("o_custkey"),
+                F.lit(1.5).alias("o_totalprice"),
+            )
+        )
+        v2 = t.upsert_keys(
+            spark, delta, key_cols=("o_orderkey",), parent=v1, n_buckets=8
+        )
+        return t.read(spark, v2)
+
     return {
         "crawl_pages_3rounds": crawl_pages_3rounds,
+        "claim_merge_delta": claim_merge_delta,
+        "upsert_keys_delta": upsert_keys_delta,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_global": topk_global,
         "window_rank_topk": window_rank_topk,
@@ -619,6 +684,22 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pages_3rounds": f"""
             select url, round, image_id, caption, phash, status
             from read_parquet('{_GOLDEN_CRAWL}')""",
+        "claim_merge_delta": """
+            select o_orderkey, o_custkey, round(o_totalprice, 2) as o_totalprice
+            from orders where o_orderkey % 97 <> 0
+            union all
+            select -c_custkey as o_orderkey, c_custkey as o_custkey,
+                   round(c_acctbal, 2) as o_totalprice
+            from customer where c_custkey % 50 = 0""",
+        "upsert_keys_delta": """
+            select o_orderkey, o_custkey,
+                   case when o_orderkey % 101 = 0 then 0.0
+                        else round(o_totalprice, 2) end as o_totalprice
+            from orders
+            union all
+            select -x as o_orderkey, cast(0 as bigint) as o_custkey,
+                   1.5 as o_totalprice
+            from generate_series(1, 5) as t(x)""",
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,
