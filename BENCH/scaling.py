@@ -158,7 +158,10 @@ shown on the unthrottled pair. Calibration rates:
 local[2] {c2:,.0f} rows/s, local[8] {c8:,.0f}, local[32] {c32:,.0f}.
 
 Roll-to-roll honesty: three full scaling runs on 2026-08-16 measured
-normalized pairs of 0.77/0.65, 0.81/0.85 and 0.96/0.75 — the shared-VM
+normalized pairs of 0.77/0.65, 0.81/0.85 and 0.96/0.75, and an r4 roll on
+2026-08-17 measured an INCOHERENT 1.24/0.48 (engine "beating" silicon on
+one pair and halving it on the other — the calibration and engine legs
+straddled a throttle-phase change) and was re-rolled — the shared-VM
 grant moves by tens of percent between half-hour windows even after
 per-window calibration. The shipped table is ONE coherent roll (engine
 and calibration from the same window), not a cherry-picked mix.

@@ -386,9 +386,15 @@ class CrawlDriver:
             versions["seed_inbox"] = inbox_v
             if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
                 # bound small-file growth on the append-only tables; the
-                # compacted version is what the checkpoint pins
+                # compacted version is what the checkpoint pins. Under the
+                # delta claim the frontier/host_state accrue one small
+                # additions-commit per round too — same rotation
+                # (Iceberg rewrite_data_files analog)
                 versions["seen"] = t["seen"].compact(spark, cfg.n_buckets)
                 versions["pages"] = t["pages"].compact(spark, cfg.n_buckets)
+                if cfg.delta_claim:
+                    versions["frontier"] = t["frontier"].compact(spark, cfg.n_buckets)
+                    versions["host_state"] = t["host_state"].compact(spark, cfg.n_buckets)
             seen_count += res.n_admitted  # upper estimate; threshold only
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions, extra={"seen_count": seen_count})
