@@ -326,6 +326,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", md5_60bit_hash(F.col("text")).alias("h")
         )
 
+    def request_headers(spark, sf):  # C8 (r4): colly RandomUserAgent/Referer
+        # re-imagined as a deterministic-seeded header pick (md5(url:round)
+        # mod pool — resume-stable; deviation documented in
+        # functions/headers.py); referer NULL for non-link-followed rows
+        from tor_spider_spark.functions.headers import with_request_headers
+
+        reqs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("http://"), F.col("doc_id").cast("string"), F.lit(".onion/p")
+            ).alias("url"),
+        )
+        return with_request_headers(reqs, 3)
+
     def extract_links(spark, sf):  # C2 raw-HTML variant (SURVEY §2.9 #3):
         # real html.parser tokenization over a deterministic HTML column
         # built from documents (entity &amp; included — the oracle must
@@ -575,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": rollup_agg,
         "hash64": hash64,
         "hash64_md5": hash64_md5,
+        "request_headers": request_headers,
         "extract_links": extract_links,
         "approx_distinct": approx_distinct,
         "dedup_exact": dedup_exact,
@@ -596,6 +611,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_fingerprint_md5": doc_fingerprint_md5,
     }
+
+
+# C8 oracle: replay the deterministic UA pick byte-for-byte in DuckDB —
+# the pool VALUES are generated from the SAME tuple the engine uses, so
+# the two can never drift
+def _request_headers_sql() -> str:
+    from tor_spider_spark.functions.headers import UA_POOL
+
+    values = ", ".join(f"({i}, '{ua}')" for i, ua in enumerate(UA_POOL))
+    return f"""
+        with pool(i, ua) as (values {values}),
+        reqs as (select doc_id, 'http://' || doc_id || '.onion/p' as url
+                 from documents)
+        select r.doc_id, r.url, p.ua as user_agent,
+               cast(null as varchar) as referer
+        from reqs r
+        join pool p
+          on p.i = ('0x' || substr(md5(r.url || ':3'), 1, 15))::bigint % {len(UA_POOL)}"""
+
+
+_REQUEST_HEADERS_SQL = _request_headers_sql()
 
 
 # GPT-2-family pre-tokenizer pattern, lookahead-free (RE2-compatible):
@@ -774,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "hash64_md5": """
             select doc_id, ('0x' || substr(md5(text), 1, 15))::bigint as h
             from documents""",
+        "request_headers": _REQUEST_HEADERS_SQL,
         "extract_links": """
             with h as (select doc_id,
                    '<html><body><a href="/doc/' || doc_id ||

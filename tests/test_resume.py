@@ -86,6 +86,43 @@ def test_rerun_is_idempotent_noop(spark, tmp_path, smoke_dfs, smoke_fixture, smo
     assert before == after
 
 
+def test_resume_with_vacuum(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
+    """Vacuum on the maintenance rotation (r4): storage actually shrinks
+    (superseded frontier versions deleted from disk) while every judged
+    output AND a fresh-driver resume stay byte-identical — the newest
+    checkpoint's pins are always within the retained window."""
+    import dataclasses
+    import os
+
+    args_plain = (
+        smoke_dfs["corpus"],
+        smoke_dfs["seeds"],
+        smoke_dfs["robots"],
+        smoke_fixture.blacklist,
+        smoke_cfg,
+    )
+    cfg_v = dataclasses.replace(smoke_cfg, compact_every=2, vacuum_keep_versions=2)
+    args_v = args_plain[:-1] + (cfg_v,)
+
+    plain = CrawlDriver(spark, str(tmp_path / "p"), *args_plain)
+    plain.run(max_rounds=6)
+    vac = CrawlDriver(spark, str(tmp_path / "v"), *args_v)
+    vac.run(max_rounds=3)
+    vac2 = CrawlDriver(spark, str(tmp_path / "v"), *args_v)  # fresh-driver resume
+    vac2.run(max_rounds=6, resume=True)
+
+    for tbl, cols in _TABLES.items():
+        a = sorted(map(tuple, plain.read(tbl).select(*cols).collect()))
+        b = sorted(map(tuple, vac2.read(tbl).select(*cols).collect()))
+        assert a == b, tbl
+    # vacuum really expired old versions: the frontier keeps only the
+    # retained manifest window (plain run keeps one per round + epsilon)
+    n_manifests = lambda d, t: len(  # noqa: E731
+        os.listdir(os.path.join(str(d), t, "manifests"))
+    )
+    assert n_manifests(tmp_path / "v", "frontier") < n_manifests(tmp_path / "p", "frontier")
+
+
 def test_resume_with_compaction(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg):
     """Compaction must not change any judged output nor break resume."""
     import dataclasses

@@ -96,6 +96,15 @@ class CrawlConfig:
     # manifest/file count over long crawls (Iceberg rewrite_data_files
     # analog); 0 = off
     compact_every: int = 0
+    # reclaim storage on the same rotation (Iceberg expire_snapshots
+    # analog): after each compacting round commits, drop table versions
+    # older than the newest N, deleting data files no retained manifest
+    # references. 0 = keep everything (time travel to any round). Resume
+    # only ever reads the LAST checkpoint, whose pins are the newest
+    # versions, so any N >= 1 is resume-safe; N > 1 keeps a debugging
+    # window. Without this a long crawl's storage grows with every
+    # superseded frontier/host_state/bloom version.
+    vacuum_keep_versions: int = 0
     blacklist: tuple[str, ...] = field(default_factory=tuple)
 
 

@@ -399,6 +399,21 @@ class CrawlDriver:
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions, extra={"seen_count": seen_count})
             pinned = dict(versions)
+            if (
+                cfg.vacuum_keep_versions
+                and cfg.compact_every
+                and (rnd + 1) % cfg.compact_every == 0
+            ):
+                # AFTER the commit: the just-written checkpoint (the only
+                # resume target) pins the newest versions, so expiring
+                # older ones cannot strand a resume (expire_snapshots
+                # analog; bounds storage over long crawls). seed_inbox is
+                # exempt: its incremental drain diffs manifests back to
+                # the checkpoint-CONSUMED version, which may be arbitrarily
+                # old when no seeds have streamed in for a while
+                for name, table in t.items():
+                    if name != "seed_inbox":
+                        table.vacuum(keep_versions=cfg.vacuum_keep_versions)
 
             for df in res.persisted:  # round is committed; release cache
                 df.unpersist(False)
