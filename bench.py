@@ -168,6 +168,70 @@ def bench_core(spark, n_rows: int) -> dict:
     }
 
 
+def bench_delta_claim(spark, n_rows: int = 1_000_000, n_hosts: int = 20_000) -> dict:
+    """Per-round claim WRITE COST (r4, VERDICT r3 next #1): delete a
+    scheduler-shaped batch (8 hosts × budget 8) from a host-range-layout
+    frontier and compare bytes written against the legacy full overwrite
+    of the same logical transition. The full sweep (batch scaling, the
+    saturated worst case, the clustered invalidation shape) lives in
+    BENCH/delta_claim.py; this leg keeps one headline ratio in every
+    BENCH_r{N}.json."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tor_spider_spark.schemas import FRONTIER
+    from tor_spider_spark.sources.tables import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="bench-delta-claim-")
+    t = SnapshotTable(root, "frontier", FRONTIER, sort_col=("host_hash", "url_hash"),
+                      max_records_per_file=10_000, range_partition=True)
+    base = spark.range(n_rows).select(
+        F.concat(F.lit("http://h"), (F.col("id") % n_hosts).cast("string"),
+                 F.lit(".onion/p"), F.col("id")).alias("url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % n_hosts).cast("string")).alias("host"),
+        F.xxhash64((F.col("id") % n_hosts).cast("string")).alias("host_hash"),
+        F.lit(3).alias("depth"), F.lit(0.25).alias("priority"),
+        F.lit(0).alias("discovered_round"), F.lit(False).alias("is_seed"),
+    ).persist()
+    base.count()
+    v1 = t.overwrite(base, 16)
+    table_bytes = t.version_new_bytes(v1, 0)
+    v1_files = {f for e in t._read_manifest(v1) for f in t._entry_files(e)}
+    keys = spark.range(64).select(
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") % 8) + (F.col("id") / 8).cast("long") * n_hosts)).alias("url_hash"),
+        F.xxhash64((F.col("id") % 8).cast("string")).alias("host_hash"),
+    )
+    t0 = time.time()
+    v2 = t.claim_merge(spark, keys, base.limit(0), prune_col="host_hash",
+                       parent=v1, n_buckets=16)
+    delta_wall = time.time() - t0
+    delta_bytes = t.version_new_bytes(v2, v1)
+    carried = sum(1 for e in t._read_manifest(v2) if e in v1_files)
+    t0 = time.time()
+    v3 = t.overwrite(
+        t.read(spark, v1).join(keys.select("url_hash"), "url_hash", "left_anti"), 16
+    )
+    ow_wall = time.time() - t0
+    ow_bytes = t.version_new_bytes(v3, v1)
+    base.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "frontier_rows": n_rows,
+        "claim_batch": 64,
+        "claim_hosts": 8,
+        "table_bytes": table_bytes,
+        "files_total": len(v1_files),
+        "files_carried": carried,
+        "delta_bytes": delta_bytes,
+        "overwrite_bytes": ow_bytes,
+        "bytes_ratio_delta_vs_overwrite": round(delta_bytes / max(ow_bytes, 1), 4),
+        "delta_wall_sec": round(delta_wall, 2),
+        "overwrite_wall_sec": round(ow_wall, 2),
+    }
+
+
 def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, dup_share: float = 0.1) -> dict:
     """The bloom probe's target regime (VERDICT r1 #2): seen ≥
     bloom_min_seen (5M), expansion-phase candidates (mostly NEW urls).
@@ -364,6 +428,7 @@ def main() -> None:
         # was measured to flip this margin (0.93x contaminated vs
         # 1.12-1.40x clean at 40M, 1.15x at 60M).
         result["bloom_scale"] = bench_bloom_scale(spark, n_seen=40_000_000)
+        result["delta_claim"] = bench_delta_claim(spark)
         result["crawl"] = bench_crawl(spark)
         result["queries"] = bench_queries(spark, sf_dir)
     else:
