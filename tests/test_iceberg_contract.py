@@ -274,6 +274,22 @@ def test_upsert_keys_merge_into_sql(fake):
     assert v == state.snapshots[-1] != v1
 
 
+def test_maintenance_procedures(fake):
+    """compact → rewrite_data_files; vacuum → expire_snapshots with
+    retain_last — the driver's compact_every/vacuum_keep_versions
+    rotation maps onto exactly these catalog procedures."""
+    state, spark, t = fake
+    t.append(FakeDF(state))
+    t.compact(spark)
+    assert any(
+        c.startswith("CALL cat.system.rewrite_data_files('cat.crawl.seen')")
+        for c in state.calls
+    )
+    t.vacuum(keep_versions=4)
+    exp = next(c for c in state.calls if "expire_snapshots" in c)
+    assert "retain_last => 4" in exp and "cat.crawl.seen" in exp
+
+
 def test_has_new_uses_identity_not_ordering(fake):
     """Iceberg snapshot ids are random longs: a NEWER snapshot can have a
     SMALLER id. The drain gate must fire on inequality (ADVICE r2 #2)."""
