@@ -86,6 +86,33 @@ def test_delta_claim_equals_overwrite_claim(
     assert runs[True] == runs[False]
 
 
+def test_delta_claim_keeps_unscheduled_round0_seeds(
+    spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg
+):
+    """Regression (code-review r4 finding #1, reproduced): with
+    round_limit below the seed count, the fresh-start seed frontier
+    exists only in memory, and the delta claim silently dropped every
+    seed not scheduled in round 0 — one-shot seeds were lost forever.
+    Both claim paths must match the simulator exactly under a tiny
+    round_limit."""
+    import dataclasses
+
+    from tor_spider_spark.simulator import simulate
+
+    cfg0 = dataclasses.replace(smoke_cfg, round_limit=2, max_rounds=4)
+    sim = simulate(smoke_fixture, cfg0)
+    for mode in (True, False):
+        cfg = dataclasses.replace(cfg0, delta_claim=mode)
+        drv = _run(
+            spark, tmp_path / f"rl2-{mode}", smoke_dfs, smoke_fixture, cfg, use_bloom=False
+        )
+        sched: dict[int, list[str]] = {}
+        for r in drv.read("schedule").orderBy("round", "rank").collect():
+            sched.setdefault(r["round"], []).append(r["url"])
+        for i in range(4):
+            assert sched.get(i, []) == sim.schedule[i], f"delta={mode} round {i}"
+
+
 def test_file_chunking_knob_is_semantics_free(
     spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, smoke_sim
 ):

@@ -83,6 +83,20 @@ def test_audio_wav_roundtrip_real_decode(spark):
     assert abs(got["raw"]["rms"] - expect_rms) < 1e-9
 
 
+def test_audio_corrupt_riff_degrades_not_aborts(spark):
+    """Attacker-controlled payloads: a truncated/float-PCM RIFF container
+    and an odd-length raw blob must degrade to the fallback decode, never
+    fail the task (code-review r4 finding #3)."""
+    bad_riff = b"RIFF\x10\x00\x00\x00WAVEjunkjunkjunk"  # not a parseable WAV
+    odd_raw = b"\x01\x02\x03"  # 3 bytes: not a multiple of int16
+    df = spark.createDataFrame(
+        [("bad_riff", bad_riff), ("odd", odd_raw)], "clip_id string, bytes binary"
+    )
+    got = {r["clip_id"]: r for r in extract_audio_features(df).collect()}
+    assert set(got) == {"bad_riff", "odd"}  # both rows survived
+    assert got["odd"]["duration_s"] == 1 / 16000.0  # one int16 sample kept
+
+
 def test_video_frame_sampling(spark):
     """Frame sampler: every n-th frame of the fixture container comes back
     as its own row, pixel-exact (PNG is lossless), with frame numbers

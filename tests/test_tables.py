@@ -197,6 +197,35 @@ def test_upsert_keys_replaces_matched_rows(spark, tmp_path):
     assert any(e in v1_files for e in t._read_manifest(v2))  # pruning engaged
 
 
+def test_delta_guard_falls_back_before_any_collect(spark, tmp_path):
+    """Above DELTA_KEYS_MAX_ROWS the delta path must fall back to the
+    full rewrite — guarded on the KEY ROW COUNT before any driver-side
+    collect or forced broadcast (code-review r4 finding #2) — and still
+    produce the correct rows."""
+    t = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="url_hash")
+    t.DELTA_KEYS_MAX_ROWS = 10  # instance override for the test
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(200)], SEEN))
+    keys = spark.createDataFrame([(i,) for i in range(0, 100)], "url_hash long")
+    v2 = t.claim_merge(spark, keys, spark.createDataFrame([], SEEN), parent=v1)
+    got = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    assert got == list(range(100, 200))
+    # fallback really rewrote: no v1 file carried by path
+    v1_files = {f for e in t._read_manifest(v1) for f in t._entry_files(e)}
+    assert not any(e in v1_files for e in t._read_manifest(v2))
+
+
+def test_delta_null_keys_delete_nothing(spark, tmp_path):
+    """NULL keys never match an equi-anti-join; the delta path must treat
+    them the same — not crash sorting None against ints (code-review r4
+    finding #5)."""
+    t = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="url_hash")
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(50)], SEEN))
+    keys = spark.createDataFrame([(None,), (7,)], "url_hash long")
+    v2 = t.claim_merge(spark, keys, spark.createDataFrame([], SEEN), parent=v1)
+    got = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    assert got == [i for i in range(50) if i != 7]
+
+
 def test_vacuum_partially_live_commit_dirs(spark, tmp_path):
     """After a delta claim, old commit DIRS are partially live (some files
     carried by name into newer manifests). vacuum must delete only the

@@ -219,11 +219,21 @@ def extract_audio_features(clips: DataFrame) -> DataFrame:
                 if blob is None:
                     continue
                 blob = bytes(blob)
+                pcm = None
                 if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-                    pcm, sr = _decode_wav(blob)  # real decode, stdlib wave
-                else:
+                    try:
+                        pcm, sr = _decode_wav(blob)  # real decode, stdlib wave
+                    except Exception:
+                        # crawled payloads are attacker-controlled: a
+                        # truncated RIFF / float-PCM / ADPCM container must
+                        # degrade to the fallback, not fail the Spark task
+                        # 4x and abort the job (code-review r4 finding #3)
+                        pcm = None
+                if pcm is None:
                     # STUB decode — real impl: soundfile.read(io.BytesIO(blob))
-                    pcm = np.frombuffer(blob, dtype=np.int16).astype(np.float64)
+                    pcm = np.frombuffer(blob[: len(blob) & ~1], dtype=np.int16).astype(
+                        np.float64
+                    )
                     sr = 16000.0
                 rows.append((cid, len(pcm) / sr, float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])

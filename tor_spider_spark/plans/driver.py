@@ -189,6 +189,7 @@ class CrawlDriver:
             for name in _TABLES:  # checkpoints written before a table existed
                 pinned.setdefault(name, 0)
             start = last["round"] + 1
+            unstored = None  # resumed frontier comes entirely from the table
             frontier = t["frontier"].read(spark, pinned["frontier"])
             seen = t["seen"].read(spark, pinned["seen"])
             host_state = t["host_state"].read(spark, pinned["host_state"])
@@ -201,6 +202,12 @@ class CrawlDriver:
             pinned = {name: 0 for name in _TABLES}
             start = 0
             frontier = self._seed_frontier(0, periodic_only=False)
+            # the fresh-start seed frontier exists ONLY in memory (the
+            # stored table is empty): the delta claim must carry its
+            # unscheduled rows forward explicitly, exactly like inbox
+            # injections — without this, seeds beyond round-0 capacity
+            # (round_limit / host budget) were silently lost
+            unstored = frontier
             seen = t["seen"].read(spark, 0)
             host_state = t["host_state"].read(spark, 0)
             blooms = t["bloom_shards"].read(spark, 0)
@@ -232,11 +239,14 @@ class CrawlDriver:
             # SnapshotTable, id inequality on Iceberg (snapshot ids are
             # random longs — ADVICE r2 #2)
             inbox_v = t["seed_inbox"].latest_version()
-            injected = None  # one-shot inbox rows: in-memory only this round
             if t["seed_inbox"].has_new(pinned["seed_inbox"], inbox_v):
                 fresh = t["seed_inbox"].read_new(spark, pinned["seed_inbox"], inbox_v)
                 injected = self._frontier_rows(fresh, rnd, periodic_only=False)
                 frontier = frontier.unionByName(injected)
+                # one-shot inbox rows join the round's in-memory-only set
+                unstored = (
+                    injected if unstored is None else unstored.unionByName(injected)
+                )
                 frontier_rows = None  # injected rows uncounted: hint unknown
             if frontier.isEmpty():
                 break
@@ -333,12 +343,15 @@ class CrawlDriver:
                 # mongojobsstorage.go:165-180). host_state upserts only
                 # the hosts whose last_fetch_round changed this round.
                 additions = res.discovered_rows.unionByName(extra_seeds)
-                if injected is not None:
-                    # one-shot injected rows never reached the stored
-                    # frontier — carry the unscheduled ones forward (the
-                    # legacy overwrite covers them via the in-memory union)
+                if unstored is not None:
+                    # rows that exist only in the in-memory frontier
+                    # (fresh-start seeds, one-shot inbox injections) never
+                    # reached the stored table — carry the UNSCHEDULED
+                    # ones forward or they are silently lost when they
+                    # exceed round capacity (the legacy overwrite covers
+                    # them via the in-memory union)
                     additions = additions.unionByName(
-                        injected.join(
+                        unstored.join(
                             res.scheduled.select("url_hash"), "url_hash", "left_anti"
                         )
                     )
@@ -358,6 +371,10 @@ class CrawlDriver:
                     key_cols=("host",),
                     prune_col="host_hash",
                     parent=pinned["host_state"],
+                    # without this the commits keep their hash-shuffle
+                    # partitioning, every file tiles the full host range
+                    # and later upserts re-rewrite the whole table
+                    n_buckets=cfg.n_buckets,
                 )
             else:
                 frontier_next = res.frontier_next.unionByName(extra_seeds)
@@ -422,7 +439,9 @@ class CrawlDriver:
                 # for Python GC — they grow with seen and there is one per
                 # round (ADVICE r2 #5)
                 probe.release()
-            # roll state from the committed snapshots (lineage truncation)
+            # roll state from the committed snapshots (lineage truncation);
+            # every formerly in-memory-only row is in the table now
+            unstored = None
             frontier = t["frontier"].read(spark, versions["frontier"])
             frontier_rows = t["frontier"].row_count(versions["frontier"])
             host_state_rows = t["host_state"].row_count(versions["host_state"])

@@ -242,11 +242,21 @@ class SnapshotTable:
         # host_state joins on host but prunes on host_hash); the anti-join
         # below matches on join_cols only, extra columns ride along
         keys = delete_keys.select(*dict.fromkeys([*join_cols, prune_col])).distinct()
-        vals = sorted(r[0] for r in keys.select(prune_col).distinct().collect())
-        if len(vals) > self.DELTA_KEYS_MAX_ROWS:
+        # guard the KEY ROW COUNT (what the broadcast below ships and what
+        # bounds the prune-value collect) BEFORE collecting anything to
+        # the driver — guarding distinct prune values after the collect
+        # would both collect an unbounded set and let a huge key rowset
+        # through to a forced broadcast (code-review r4 finding #2)
+        if keys.count() > self.DELTA_KEYS_MAX_ROWS:
             # unbounded key set: full rewrite (the old overwrite cost)
             merged = self.read(spark, base).join(keys, join_cols, "left_anti")
             return self.overwrite(merged.unionByName(additions.select(cols)), n_buckets)
+        # NULL keys never match an equi-anti-join (SQL null semantics), so
+        # they delete nothing — drop them from pruning too (sorted() would
+        # otherwise raise comparing None against ints/strings)
+        vals = sorted(
+            r[0] for r in keys.select(prune_col).distinct().collect() if r[0] is not None
+        )
         new_entries: list[str] = []
         if vals:
             untouched, touched = self._prune_entries(entries, prune_col, vals)
