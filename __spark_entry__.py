@@ -26,6 +26,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _materialize_and_clean(spark: SparkSession, df: DataFrame, tmp_root: str) -> DataFrame:
+    """Collect a temp-table-backed result and delete its backing files —
+    the claim/upsert contract queries snapshot a table copy into a temp
+    dir, and returning a lazy reader over it would leak one orders-sized
+    copy per harness invocation (code-review r4)."""
+    import shutil
+
+    rows = df.collect()  # small at oracle scale; the driver collects anyway
+    schema = df.schema
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # flagship: the crawl itself
 # ---------------------------------------------------------------------------
@@ -533,7 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         v2 = t.claim_merge(
             spark, claimed, adds, key_col="o_orderkey", parent=v1, n_buckets=8
         )
-        return t.read(spark, v2)
+        return _materialize_and_clean(spark, t.read(spark, v2), root)
 
     def upsert_keys_delta(spark, sf):
         """Keyed delta upsert through the REAL storage machinery (r4,
@@ -563,7 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         v2 = t.upsert_keys(
             spark, delta, key_cols=("o_orderkey",), parent=v1, n_buckets=8
         )
-        return t.read(spark, v2)
+        return _materialize_and_clean(spark, t.read(spark, v2), root)
 
     return {
         "crawl_pages_3rounds": crawl_pages_3rounds,

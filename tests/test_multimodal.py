@@ -97,6 +97,21 @@ def test_audio_corrupt_riff_degrades_not_aborts(spark):
     assert got["odd"]["duration_s"] == 1 / 16000.0  # one int16 sample kept
 
 
+def test_audio_zero_rate_wav_degrades(spark):
+    """A parseable WAV whose header declares sample-rate 0 (stdlib wave
+    does not validate it) must fall back instead of dividing by zero
+    (code-review r4 pass-2 finding #1)."""
+    from tor_spider_spark.multimodal import encode_wav
+
+    pcm = (np.sin(np.linspace(0, 10, 4000)) * 8000).astype(np.int16)
+    blob = bytearray(encode_wav(pcm, sample_rate=8000))
+    blob[24:28] = (0).to_bytes(4, "little")  # fmt-chunk sample rate -> 0
+    df = spark.createDataFrame([("z", bytes(blob))], "clip_id string, bytes binary")
+    rows = extract_audio_features(df).collect()
+    assert len(rows) == 1  # task survived; fallback engaged
+    assert rows[0]["duration_s"] > 0
+
+
 def test_video_frame_sampling(spark):
     """Frame sampler: every n-th frame of the fixture container comes back
     as its own row, pixel-exact (PNG is lossless), with frame numbers

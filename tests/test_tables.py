@@ -226,6 +226,21 @@ def test_delta_null_keys_delete_nothing(spark, tmp_path):
     assert got == [i for i in range(50) if i != 7]
 
 
+def test_delta_null_prune_value_still_deletes_matchable_key(spark, tmp_path):
+    """When prune_col differs from the join key, a NULL prune value on a
+    key whose join column can still match table rows must not skip the
+    delete (code-review r4 pass-2 finding #2): pruning degrades to
+    touch-all, semantics stay equal to the legacy anti-join."""
+    t = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="host_hash")
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(50)], SEEN))
+    # key (url_hash=7, host_hash=NULL): join on url_hash matches row 7
+    keys = spark.createDataFrame([(7, None)], "url_hash long, host_hash long")
+    v2 = t._delta(spark, keys, ["url_hash"], "host_hash",
+                  spark.createDataFrame([], SEEN), v1, None)
+    got = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    assert got == [i for i in range(50) if i != 7]
+
+
 def test_vacuum_partially_live_commit_dirs(spark, tmp_path):
     """After a delta claim, old commit DIRS are partially live (some files
     carried by name into newer manifests). vacuum must delete only the

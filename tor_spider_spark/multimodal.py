@@ -194,6 +194,11 @@ def _decode_wav(blob: bytes) -> tuple[np.ndarray, float]:
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
     if dtype is None:
         raise ValueError(f"unsupported WAV sample width {width}")
+    if sr <= 0:
+        # stdlib wave performs no framerate validation; a crafted header
+        # with rate 0 would otherwise divide-by-zero in the caller —
+        # raising here routes the clip to the fallback decode
+        raise ValueError(f"invalid WAV sample rate {sr}")
     samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     if width == 1:
         samples -= 128.0  # 8-bit WAV is unsigned

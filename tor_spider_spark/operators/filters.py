@@ -107,10 +107,11 @@ def scale_blacklist_pred(url, patterns: list[str]):
     pred = F.lit(False)
     for i in range(0, len(hosts), _TRIE_CHUNK):
         pred = pred | url.rlike(_trie_regex(hosts[i : i + _TRIE_CHUNK]))
-    chunkable = [p for p in regexes if not _GROUP_SENSITIVE_RE.search(p)]
+    chunkable, solo = [], []
     for p in regexes:
-        if _GROUP_SENSITIVE_RE.search(p):
-            pred = pred | url.rlike(p)
+        (solo if _GROUP_SENSITIVE_RE.search(p) else chunkable).append(p)
+    for p in solo:
+        pred = pred | url.rlike(p)
     for i in range(0, len(chunkable), _TRIE_CHUNK):
         alt = "|".join(f"(?:{p})" for p in chunkable[i : i + _TRIE_CHUNK])
         pred = pred | url.rlike(alt)

@@ -247,29 +247,52 @@ class SnapshotTable:
         # the driver — guarding distinct prune values after the collect
         # would both collect an unbounded set and let a huge key rowset
         # through to a forced broadcast (code-review r4 finding #2)
-        if keys.count() > self.DELTA_KEYS_MAX_ROWS:
-            # unbounded key set: full rewrite (the old overwrite cost)
-            merged = self.read(spark, base).join(keys, join_cols, "left_anti")
-            return self.overwrite(merged.unionByName(additions.select(cols)), n_buckets)
-        # NULL keys never match an equi-anti-join (SQL null semantics), so
-        # they delete nothing — drop them from pruning too (sorted() would
-        # otherwise raise comparing None against ints/strings)
-        vals = sorted(
-            r[0] for r in keys.select(prune_col).distinct().collect() if r[0] is not None
-        )
-        new_entries: list[str] = []
-        if vals:
-            untouched, touched = self._prune_entries(entries, prune_col, vals)
-            new_entries.extend(untouched)
-            if touched:
-                rewritten = (
-                    spark.read.schema(self.schema)
-                    .parquet(*touched)
-                    .join(F.broadcast(keys), join_cols, "left_anti")
+        keys = keys.persist()  # evaluated 3x below: count, collect, anti-join
+        try:
+            if keys.count() > self.DELTA_KEYS_MAX_ROWS:
+                # unbounded key set: full rewrite (the old overwrite cost)
+                merged = self.read(spark, base).join(keys, join_cols, "left_anti")
+                return self.overwrite(
+                    merged.unionByName(additions.select(cols)), n_buckets
                 )
-                new_entries.append(self._write_commit(rewritten.select(cols), n_buckets))
+            raw = [r[0] for r in keys.select(prune_col).distinct().collect()]
+            vals = sorted(v for v in raw if v is not None)
+            if any(v is None for v in raw) and (
+                len(join_cols) != 1 or join_cols[0] != prune_col
+            ):
+                # a NULL prune value on a key whose JOIN columns may still
+                # match table rows cannot be located by footer stats —
+                # conservatively touch every file (correct, just unpruned).
+                # When the prune col IS the sole join col, a null key never
+                # matches an equi-anti-join, so dropping it is exact.
+                vals = None
+            return self._delta_apply(
+                spark, keys, join_cols, prune_col, vals, additions, entries, n_buckets
+            )
+        finally:
+            keys.unpersist()
+
+    def _delta_apply(
+        self, spark, keys, join_cols, prune_col, vals, additions, entries, n_buckets
+    ) -> int:
+        cols = [f.name for f in self.schema.fields]
+        new_entries: list[str] = []
+        if vals is None:
+            # unprunable (null prune value on a matchable key): rewrite all
+            untouched: list[str] = []
+            touched = [f for e in entries for f in self._entry_files(e)]
+        elif vals:
+            untouched, touched = self._prune_entries(entries, prune_col, vals)
         else:
-            new_entries.extend(entries)
+            untouched, touched = list(entries), []
+        new_entries.extend(untouched)
+        if touched:
+            rewritten = (
+                spark.read.schema(self.schema)
+                .parquet(*touched)
+                .join(F.broadcast(keys), join_cols, "left_anti")
+            )
+            new_entries.append(self._write_commit(rewritten.select(cols), n_buckets))
         new_entries.append(self._write_commit(additions.select(cols), n_buckets))
         v = self.latest_version() + 1
         self._write_manifest(v, new_entries)
