@@ -364,6 +364,9 @@ class CrawlDriver:
                     prune_col="host_hash",
                     parent=pinned["frontier"],
                     n_buckets=cfg.n_buckets,
+                    # the scheduler hard-caps the batch at round_limit —
+                    # saves the guard's count job every round
+                    keys_rows_hint=cfg.round_limit,
                 )
                 jobs["host_state"] = lambda: t["host_state"].upsert_keys(
                     spark,
@@ -375,6 +378,8 @@ class CrawlDriver:
                     # partitioning, every file tiles the full host range
                     # and later upserts re-rewrite the whole table
                     n_buckets=cfg.n_buckets,
+                    # touched hosts ≤ scheduled rows ≤ round_limit
+                    keys_rows_hint=cfg.round_limit,
                 )
             else:
                 frontier_next = res.frontier_next.unionByName(extra_seeds)

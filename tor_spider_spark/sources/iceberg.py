@@ -168,6 +168,7 @@ class IcebergTable:
         prune_col: str | None = None,  # Iceberg prunes from its own stats
         parent: int | None = None,
         n_buckets: int | None = None,
+        keys_rows_hint: int | None = None,  # unused: DELETE is delta-cost anyway
     ) -> int:
         """Delta-cost round transition (VERDICT r3 next #1): DELETE the
         claimed keys (merge-on-read positional deletes — write cost ∝
@@ -192,6 +193,7 @@ class IcebergTable:
         prune_col: str | None = None,
         parent: int | None = None,
         n_buckets: int | None = None,
+        keys_rows_hint: int | None = None,  # unused: MERGE is delta-cost anyway
     ) -> int:
         """Keyed upsert via MERGE INTO (merge-on-read): matched keys are
         replaced, new keys inserted — write cost ∝ the incoming batch
