@@ -87,13 +87,18 @@ def main() -> None:
         else "see BENCH/crawl_engine_ab.json"
     )
     # hardware-ceiling calibration per level: pure-CPU perfect-parallel job;
-    # the engine cannot out-scale the silicon the VM actually grants
+    # the engine cannot out-scale the silicon the VM actually grants.
+    # r5 (VERDICT r4 next #8): the local-cluster levels are calibrated
+    # too, so the 1→4-executor-JVM row is normalized the same way as the
+    # thread-mode rows (the pure-CPU job has no shuffle, so under
+    # local-cluster it measures the CPU grant across executor JVMs —
+    # exactly the ceiling the engine row should be read against).
     calib = {
         n: max(
             run_level(LEVELS[n][0], rows, "calibrate")["calibration"]["rows_per_sec"]
             for _ in range(2)
         )
-        for n in ("local2", "local8", "local32")
+        for n in ("local2", "local8", "local32", "lc-1x8", "lc-4x8")
     }
     best: dict[str, dict] = {}
     # two interleaved process passes per level: samples different
@@ -110,8 +115,10 @@ def main() -> None:
     eff_8_32 = (rps["local32"] / rps["local8"]) / 4
     box_2_8 = (calib["local8"] / calib["local2"]) / 4
     box_8_32 = (calib["local32"] / calib["local8"]) / 4
+    box_exec = (calib["lc-4x8"] / calib["lc-1x8"]) / 4
     norm_2_8 = eff_2_8 / box_2_8
     norm_8_32 = eff_8_32 / box_8_32
+    norm_exec = eff_exec / box_exec
 
     c2, c8, c32 = calib["local2"], calib["local8"], calib["local32"]
     rows_tbl = "\n".join(
@@ -142,7 +149,16 @@ identical admitted counts at every level (correctness invariant held).
 |---|---|---|---|
 | local[2] → local[8] | **{eff_2_8:.2f}** | {box_2_8:.2f} | **{norm_2_8:.2f}** |
 | local[8] → local[32] | {eff_8_32:.2f} | {box_8_32:.2f} | **{norm_8_32:.2f}** |
-| 1 → 4 executor JVMs (`local-cluster`, 8 cores each) | {eff_exec:.2f} | (same silicon) | — |
+| 1 → 4 executor JVMs (`local-cluster`, 8 cores each) | {eff_exec:.2f} | {box_exec:.2f} | **{norm_exec:.2f}** |
+
+The executor-JVM pair is calibrated the same way as the thread pairs
+(r5): the pure-CPU job under `local-cluster[1,8]` vs `[4,8]` measures
+what 4 real JVMs' worth of threads can extract from this VM's CPU quota
+(no shuffle, so the ceiling is the grant, not the transport). What the
+normalization CANNOT remove on this box: all 4 executor JVMs split one
+machine's memory bandwidth and 8 GB heaps carved from one RAM pool — a
+real 4-node cluster scales both with nodes, so the normalized exec row
+remains a lower bound.
 
 **The hardware-ceiling column is decisive.** An embarrassingly parallel
 pure-CPU Spark job (sha2 over 30M longs, zero shuffle, zero engine code —
@@ -205,6 +221,16 @@ on `pmod(host_hash, n_shards)` and only the bloom-positive keys come back
 (tests/test_bloom.py); the `bloom_scale` bench leg measures BOTH probes
 per round (`bloom_part_*` fields in BENCH_r{{N}}.json) so the dispatch
 threshold stays honest.
+
+r5 makes the dispatch TOPOLOGY-AWARE (VERDICT r4 wrong #1): the broadcast
+probe's per-round bitset collect + broadcast crosses real JVM boundaries
+on any multi-executor session — measured in the engaged regime (40M seen,
+2M candidates) at one vs four executor JVMs, interleaved fresh-JVM passes
+(BENCH/bloom_lc_ab.json). `BloomShards.probe()` now routes multi-JVM
+sessions (`cluster_executors > 1`) to the partition-aligned probe
+unconditionally and keeps the size dispatch for single-process sessions,
+where collect+broadcast never leaves the JVM and the broadcast probe is
+the measured winner.
 
 ## Crawl-bench A/B evidence (r3 — VERDICT r2 #1 closed)
 
@@ -284,8 +310,10 @@ Raw JSON per level:
                 "eff_8_32": round(eff_8_32, 3),
                 "box_2_8": round(box_2_8, 3),
                 "box_8_32": round(box_8_32, 3),
+                "box_exec_1_4": round(box_exec, 3),
                 "norm_2_8": round(norm_2_8, 3),
                 "norm_8_32": round(norm_8_32, 3),
+                "norm_exec_1_4": round(norm_exec, 3),
                 "rps": rps,
                 "calibration_rows_per_sec": calib,
             }

@@ -291,6 +291,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _suc(spark, os.path.join(sf, "events.parquet"))
 
+    def stream_update_counts_2drop(spark, sf):
+        # MULTI-TRIGGER incremental convergence (VERDICT r4 next #7): the
+        # events table split at the midpoint event-time into two source
+        # files, drained in TWO update-mode triggers through one
+        # checkpoint (maxFilesPerTrigger=1 under availableNow); trigger 2
+        # upserts only the windows it touches, and the sink must still
+        # equal the batch aggregation — the oracle pins the incremental
+        # path, not just the one-shot drain
+        from tor_spider_spark.streaming.windows import (
+            stream_update_counts_two_trigger,
+        )
+
+        return stream_update_counts_two_trigger(
+            spark, os.path.join(sf, "events.parquet")
+        )
+
     def sessionize(spark, sf):  # session windows (gap > 30 min) — the
         # event-time stateful-streaming analog, batch-expressed
         from pyspark.sql import Window
@@ -598,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": tumbling_window,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_update_counts": stream_update_counts,
+        "stream_update_counts_2drop": stream_update_counts_2drop,
         "sessionize": sessionize,
         "rollup_agg": rollup_agg,
         "hash64": hash64,
@@ -817,6 +834,10 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",
         "stream_update_counts": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+                   event_type, count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2""",
+        "stream_update_counts_2drop": """
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
                    event_type, count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2""",

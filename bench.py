@@ -64,7 +64,12 @@ def _ensure_bench_fixture(spark) -> str:
     return path
 
 
-def bench_crawl(spark, rounds: int = 8, seed_traversal_depth: int | None = None) -> dict:
+def bench_crawl(
+    spark,
+    rounds: int = 8,
+    seed_traversal_depth: int | None = None,
+    cfg_overrides: dict | None = None,
+) -> dict:
     import tempfile
 
     from tor_spider_spark.plans.driver import CrawlDriver
@@ -81,6 +86,7 @@ def bench_crawl(spark, rounds: int = 8, seed_traversal_depth: int | None = None)
         env = os.environ.get("SPARK_GRAFT_CRAWL_TRAVERSAL")
         seed_traversal_depth = int(env) if env is not None else None
     extra = {} if seed_traversal_depth is None else {"seed_traversal_depth": seed_traversal_depth}
+    extra.update(cfg_overrides or {})
     cfg = CrawlConfig(max_rounds=rounds, default_host_budget=64, round_limit=100_000, **extra)
     run_dir = tempfile.mkdtemp(prefix="bench-crawl-")
     drv = CrawlDriver(spark, run_dir, corpus, seeds, robots, blacklist, cfg)
@@ -419,6 +425,16 @@ def main() -> None:
         print(json.dumps(result))
         spark.stop()
         return
+    if mode == "bloom-only":
+        # the probe-path A/B at one topology (BENCH/bloom_lc_ab.py runs
+        # this under local-cluster masters — the multi-JVM dispatch
+        # evidence, VERDICT r4 next #1)
+        n_seen = int(os.environ.get("SPARK_GRAFT_BLOOM_SEEN", "40000000"))
+        result["bloom_scale"] = bench_bloom_scale(spark, n_seen=n_seen)
+        result.update(metric="bloom-path urls/sec", value=result["bloom_scale"]["bloom_urls_per_sec"], unit="urls/sec", queries={}, total_sec=round(time.time() - t_all, 1))
+        print(json.dumps(result))
+        spark.stop()
+        return
     core = bench_core(spark, core_rows)
     result["core"] = core
     if mode != "core-only":
@@ -430,6 +446,24 @@ def main() -> None:
         result["bloom_scale"] = bench_bloom_scale(spark, n_seen=40_000_000)
         result["delta_claim"] = bench_delta_claim(spark)
         result["crawl"] = bench_crawl(spark)
+        # design-point rehearsal (VERDICT r4 next #2): the same crawl with
+        # EVERY scale mechanism engaged at once — bloom probe forced onto
+        # the partition-aligned path, delta claim, chunked files,
+        # compaction+vacuum rotation. Interactions (compaction rewriting
+        # the range layout mid-crawl, vacuum vs carried delta files) are
+        # what the isolated legs miss; the wall delta vs the plain crawl
+        # leg above is the rehearsal's cost envelope.
+        result["design_point"] = bench_crawl(
+            spark,
+            cfg_overrides=dict(
+                bloom_min_seen=0,
+                bloom_broadcast_max_bytes=0,
+                delta_claim=True,
+                table_max_records_per_file=20_000,
+                compact_every=3,
+                vacuum_keep_versions=2,
+            ),
+        )
         result["queries"] = bench_queries(spark, sf_dir)
     else:
         result["queries"] = {}

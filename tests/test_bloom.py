@@ -200,3 +200,65 @@ def test_probe_dispatch_and_release(spark):
         small_probe_after = p_small(cand)  # building may lazily succeed...
         small_probe_after.collect()  # ...but executing must fail
     p_big.release()  # no-op on the partitioned path
+
+
+def test_probe_dispatch_topology(spark, monkeypatch):
+    """Multi-JVM sessions must route to the partitioned probe even for
+    tiny bitsets (VERDICT r4 wrong #1: the broadcast probe's per-round
+    collect+broadcast was measured to HALVE throughput at 4 real executor
+    JVMs while the exact path improved); single-process sessions keep the
+    size dispatch."""
+    from tor_spider_spark.operators import bloom as bloom_mod
+
+    bs = BloomShards(n_shards=4, m_bits=1 << 16, k=7)
+    items = spark.createDataFrame([(xxh64("x"), xxh64("h"), 0)], SEEN)
+    shards = bs.update(
+        spark.createDataFrame([], BLOOM_SHARDS), items, 0
+    ).localCheckpoint()
+
+    monkeypatch.setattr(bloom_mod, "cluster_executors", lambda _sc: 4)
+    p_multi = bs.probe(shards)
+    assert p_multi._broadcast is None  # partitioned path
+
+    monkeypatch.setattr(bloom_mod, "cluster_executors", lambda _sc: 1)
+    p_single = bs.probe(shards)
+    assert p_single._broadcast is not None  # broadcast path
+    p_single.release()
+
+    # the real topology call reports 1 on this local[8] test session
+    assert bloom_mod.cluster_executors(spark.sparkContext) == 1
+
+
+def test_bloom_knobs_one_derivation(spark, smoke_dfs, tmp_path):
+    """The three bloom knobs that must agree derive in ONE place
+    (VERDICT r4 next #5): CrawlConfig.bloom_knobs() pins the sizing
+    math and the driver builds its BloomShards from exactly it."""
+    from tor_spider_spark.config import CrawlConfig
+    from tor_spider_spark.operators.bloom import DEFAULT_BROADCAST_MAX_BYTES
+    from tor_spider_spark.plans.driver import CrawlDriver
+
+    assert CrawlConfig().bloom_knobs() == {"n_shards": 16, "m_bits": 1 << 20, "k": 7}
+    # the 10^10 design point from the docstring table: 2^25 bits/shard
+    big = CrawlConfig(bloom_capacity=10_000_000_000, n_buckets=4096)
+    assert big.bloom_knobs()["m_bits"] == 1 << 25
+    # capacity sizing: >= bits_per_key * capacity / n_shards, floor 2^20
+    mid = CrawlConfig(bloom_capacity=50_000_000, n_buckets=16)
+    assert mid.bloom_knobs()["m_bits"] >= 10 * 50_000_000 // 16
+    assert CrawlConfig(bloom_capacity=100, n_buckets=16).bloom_knobs()["m_bits"] == 1 << 20
+    # broadcast-cap override flows through; default stays the module's
+    capped = CrawlConfig(bloom_broadcast_max_bytes=1024)
+    assert capped.bloom_knobs()["broadcast_max_bytes"] == 1024
+
+    cfg = CrawlConfig(bloom_capacity=50_000_000, bloom_broadcast_max_bytes=0)
+    drv = CrawlDriver(
+        spark, str(tmp_path), smoke_dfs["corpus"], smoke_dfs["seeds"],
+        smoke_dfs["robots"], [], cfg,
+    )
+    assert drv.bloom.m_bits == cfg.bloom_knobs()["m_bits"]
+    assert drv.bloom.n_shards == cfg.n_buckets
+    assert drv.bloom.broadcast_max_bytes == 0  # forces the partitioned probe
+    drv2 = CrawlDriver(
+        spark, str(tmp_path / "d2"), smoke_dfs["corpus"], smoke_dfs["seeds"],
+        smoke_dfs["robots"], [], CrawlConfig(),
+    )
+    assert drv2.bloom.broadcast_max_bytes == DEFAULT_BROADCAST_MAX_BYTES

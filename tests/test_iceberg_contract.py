@@ -74,6 +74,10 @@ class FakeDF:
     def distinct(self):
         return self
 
+    def dropDuplicates(self, cols):
+        self.state.calls.append(f"dropDuplicates({list(cols)})")
+        return self
+
     def createOrReplaceTempView(self, name):
         self.state.calls.append(f"tempView({name})")
 
@@ -272,6 +276,54 @@ def test_upsert_keys_merge_into_sql(fake):
     assert "WHEN MATCHED THEN UPDATE SET *" in merge
     assert "WHEN NOT MATCHED THEN INSERT *" in merge
     assert v == state.snapshots[-1] != v1
+
+
+def test_upsert_dedups_source_keys_before_merge(fake):
+    """ADVICE r4 #2: Iceberg MERGE INTO aborts at runtime when two source
+    rows match one target row — the incoming batch must be
+    dropDuplicates(key_cols)-ed BEFORE the temp view the MERGE reads,
+    matching SnapshotTable.upsert_keys' collapse semantics."""
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    n0 = len(state.calls)
+    t.upsert_keys(spark, FakeDF(state), key_cols=("host",), parent=v1)
+    calls = state.calls[n0:]
+    i_dd = next(i for i, c in enumerate(calls) if c == "dropDuplicates(['host'])")
+    i_view = next(i for i, c in enumerate(calls) if c.startswith("tempView"))
+    i_merge = next(i for i, c in enumerate(calls) if c.startswith("MERGE INTO"))
+    assert i_dd < i_view < i_merge, calls
+
+
+def test_compact_and_vacuum_after_delta_claims(fake):
+    """Compaction-under-delta (VERDICT r4 next #6): after claim_merge has
+    committed positional-delete + append snapshots, rewrite_data_files
+    folds the merge-on-read deletes into data files (a new snapshot the
+    next checkpoint pins) and expire_snapshots retains the last N — the
+    exact rotation the driver's compact_every/vacuum_keep_versions runs.
+    A further claim on the compacted snapshot must fence nothing (it IS
+    the latest) and keep the DELETE→append sequence."""
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    t.claim_merge(spark, FakeDF(state), FakeDF(state), parent=v1)
+    n_before = len(state.snapshots)
+    t.compact(spark)
+    assert any("rewrite_data_files" in c for c in state.calls)
+    # the catalog procedure commits its own snapshot in a real catalog;
+    # the fake doesn't model it — what matters is the call and that the
+    # table remains usable below
+    t.vacuum(keep_versions=2)
+    exp = next(c for c in state.calls if "expire_snapshots" in c)
+    assert "retain_last => 2" in exp
+    latest = t.latest_version()
+    n0 = len(state.calls)
+    v = t.claim_merge(spark, FakeDF(state), FakeDF(state), parent=latest)
+    calls = state.calls[n0:]
+    assert not any("rollback" in c for c in calls)  # nothing to fence
+    i_del = next(i for i, c in enumerate(calls) if c.startswith("DELETE FROM"))
+    i_app = next(i for i, c in enumerate(calls) if c.startswith("writeTo"))
+    assert i_del < i_app
+    assert v == state.snapshots[-1]
+    assert len(state.snapshots) == n_before + 2
 
 
 def test_maintenance_procedures(fake):

@@ -74,6 +74,11 @@ class CrawlConfig:
     # 1.4x at 40M; RAM-backed local shuffle flatters the exact path, so a
     # real cluster with network shuffle crosses earlier).
     bloom_min_seen: int = 20_000_000
+    # broadcast-probe bitset cap (see bloom_knobs() for how the three
+    # bloom knobs derive together); None = the module default (512 MB).
+    # The probe additionally dispatches on executor TOPOLOGY at call time
+    # — see operators/bloom.py:BloomShards.probe (r5).
+    bloom_broadcast_max_bytes: int | None = None
     # delta-cost claim (VERDICT r3 next #1/#4): commit each round as
     # "delete the claimed keys + append the discovered rows" —
     # SnapshotTable rewrites only footer-pruned files, IcebergTable
@@ -106,6 +111,34 @@ class CrawlConfig:
     # superseded frontier/host_state/bloom version.
     vacuum_keep_versions: int = 0
     blacklist: tuple[str, ...] = field(default_factory=tuple)
+
+    def bloom_knobs(self) -> dict:
+        """ONE derivation for the bloom knobs that must agree (VERDICT r4
+        next #5) — the driver builds its BloomShards from exactly this.
+
+        | knob                | derivation                          | measured anchor (BENCH/BASELINE.md) |
+        |---------------------|-------------------------------------|-------------------------------------|
+        | n_shards            | = n_buckets (shard ≡ table bucket)  | co-located probe, no extra shuffle  |
+        | m_bits/shard        | next pow2 ≥ bits_per_key·capacity/n_shards, ≥ 2^20 | undersized bloom saturates → all-"maybe" (r2) |
+        | bloom_min_seen      | exact-vs-probe crossover            | 20M at local[32]; exact 0.82x at 6M, probe 1.4x at 40M |
+        | broadcast_max_bytes | cap on collect+broadcast bitsets    | 512 MB single-process; probe() ÷ executor topology at call time (r5: broadcast probe HALVED at 4 real JVMs — BENCH/bloom_lc_ab.json) |
+
+        At the 10^10 design point (capacity=10^10, n_buckets=4096):
+        m_bits = 2^25 (4 MB/shard, 16 GB total) ⇒ every topology routes to
+        the partition-aligned probe — which is the deployment path."""
+        if self.bloom_capacity:
+            per_shard_bits = self.bloom_bits_per_key * self.bloom_capacity
+            m_bits = 1 << max(20, (per_shard_bits // self.n_buckets).bit_length())
+        else:
+            m_bits = 1 << 20
+        knobs = {
+            "n_shards": self.n_buckets,
+            "m_bits": m_bits,
+            "k": self.bloom_num_hashes,
+        }
+        if self.bloom_broadcast_max_bytes is not None:
+            knobs["broadcast_max_bytes"] = self.bloom_broadcast_max_bytes
+        return knobs
 
 
 # ---------------------------------------------------------------------------

@@ -25,11 +25,15 @@ bits/shard (~4 MB, SURVEY §4.4) — knobs only, same code
 (CrawlConfig.bloom_capacity derives them).
 
 Probing has TWO physical strategies behind one ``probe()`` dispatch,
-chosen by the static total bitset size (see DEFAULT_BROADCAST_MAX_BYTES):
-broadcast bitsets + scalar Arrow UDF below the cap (the measured winner in
-the engaged regime), partition-aligned cogroup above it (nothing touches
-the driver — the 10^10-seen deployment path; parity-tested against the
-broadcast probe and benched by bench_bloom_scale).
+chosen by executor topology first and static total bitset size second
+(see :meth:`BloomShards.probe`): broadcast bitsets + scalar Arrow UDF
+only on a SINGLE-process session below the cap (the measured winner in
+the engaged regime on one box), partition-aligned cogroup everywhere
+else — multi-JVM sessions (the broadcast probe was measured to halve
+throughput at 4 real executor JVMs, BENCH/bloom_lc_ab.json) and bitsets
+above DEFAULT_BROADCAST_MAX_BYTES (nothing touches the driver — the
+10^10-seen deployment path; parity-tested against the broadcast probe
+and benched by bench_bloom_scale).
 """
 
 from __future__ import annotations
@@ -80,6 +84,19 @@ def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 def shard_col(host_hash_col, n_shards: int):
     return F.pmod(host_hash_col, F.lit(n_shards)).cast("int")
+
+
+def cluster_executors(sc) -> int:
+    """Number of executor JVMs the session is running on (1 in
+    ``local[*]`` — the driver IS the executor). ``getExecutorMemoryStatus``
+    lists driver + executors, so ``local-cluster[4,8]`` / a real
+    4-executor cluster reports 4. Metadata call, no job. Falls back to 1
+    (the conservative single-process assumption) if the JVM API moves."""
+    try:
+        n = sc._jsc.sc().getExecutorMemoryStatus().size()  # noqa: SLF001
+    except Exception:
+        return 1
+    return max(1, n - 1)
 
 
 class BloomProbe:
@@ -159,22 +176,34 @@ class BloomShards:
 
     def probe(self, shards: DataFrame, candidate_rows_hint: int | None = None) -> BloomProbe:
         """Returns a :class:`BloomProbe`: candidates -> candidates +
-        boolean `_bloom_maybe`. Dispatches on the STATIC total bitset size
-        (n_shards × m_bits/8 — known from the knobs, no scan):
+        boolean `_bloom_maybe`. Dispatches on executor TOPOLOGY first,
+        then on the STATIC total bitset size (n_shards × m_bits/8 — known
+        from the knobs; neither check runs a job):
 
-        - below ``broadcast_max_bytes``: the shuffle-free broadcast probe
-          (``probe_broadcast``) — the measured winner in the engaged
-          regime on one box;
-        - above it: the partition-aligned cogroup probe
-          (``probe_partitioned``) — the 10^10-seen deployment path, where
-          collecting every bitset to the driver would be a ~12 GB collect
-          + broadcast (VERDICT r2 #2).
+        - MULTI-JVM (>1 executor — ``cluster_executors``): the
+          partition-aligned cogroup probe (``probe_partitioned``). The
+          broadcast probe's per-round bitset collect + broadcast crosses
+          real JVM boundaries there and was MEASURED to halve bloom-path
+          throughput at ``local-cluster[4,8]`` while the exact anti-join
+          improved (VERDICT r4 wrong #1; BENCH/bloom_lc_ab.json) — i.e.
+          it pessimizes exactly on anything shaped like the target
+          cluster. The partitioned probe's costs (slim-key exchange +
+          shard-to-task shuffle) stay executor-side and scale with the
+          cluster.
+        - single-process (``local[*]``) below ``broadcast_max_bytes``:
+          the shuffle-free broadcast probe (``probe_broadcast``) — the
+          measured winner in the engaged regime on one box, where
+          "collect + broadcast" never leaves the JVM.
+        - single-process above the cap: partitioned — at the 10^10 design
+          point (~12 GB of shards) the collect cannot run at all
+          (VERDICT r2 #2).
 
         ``candidate_rows_hint`` is an upper bound on the candidate set the
         probe will be applied to (the crawl driver passes round_limit);
         it gates the partitioned probe's positive-key re-attach broadcast
         — see :meth:`probe_partitioned`."""
-        if self.total_bytes > self.broadcast_max_bytes:
+        multi_jvm = cluster_executors(shards.sparkSession.sparkContext) > 1
+        if multi_jvm or self.total_bytes > self.broadcast_max_bytes:
             return self.probe_partitioned(shards, candidate_rows_hint)
         return self.probe_broadcast(shards)
 

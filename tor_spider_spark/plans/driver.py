@@ -146,17 +146,9 @@ class CrawlDriver:
         self.seeds = seeds
         self.robots = robots
         self.blacklist = blacklist_patterns
-        if use_bloom:
-            if self.cfg.bloom_capacity:
-                per_shard_bits = self.cfg.bloom_bits_per_key * self.cfg.bloom_capacity
-                m_bits = 1 << max(20, (per_shard_bits // self.cfg.n_buckets).bit_length())
-            else:
-                m_bits = 1 << 20
-            self.bloom = BloomShards(
-                self.cfg.n_buckets, m_bits=m_bits, k=self.cfg.bloom_num_hashes
-            )
-        else:
-            self.bloom = None
+        # the three bloom knobs that must agree (sizing, broadcast cap,
+        # gate) derive in ONE place: CrawlConfig.bloom_knobs()
+        self.bloom = BloomShards(**self.cfg.bloom_knobs()) if use_bloom else None
 
     def _seed_frontier(self, round_no: int, periodic_only: bool) -> DataFrame:
         return self._frontier_rows(self.seeds, round_no, periodic_only)

@@ -199,10 +199,17 @@ class IcebergTable:
         replaced, new keys inserted — write cost ∝ the incoming batch
         (host_state's 1-row-per-host merge; the streaming sink's
         per-trigger upsert). *prune_col* is unused here: Iceberg prunes
-        from its own column stats."""
+        from its own column stats.
+
+        Duplicate source keys collapse to ONE (arbitrary) row BEFORE the
+        MERGE (ADVICE r4 #2): Iceberg aborts at runtime when two source
+        rows match one target row, and SnapshotTable.upsert_keys now
+        dedups identically — one defined semantics on both backends."""
         self._fence(parent)
         view = f"_upsert_rows_{self.name}"
-        rows.select([f.name for f in self.schema.fields]).createOrReplaceTempView(view)
+        rows.select([f.name for f in self.schema.fields]).dropDuplicates(
+            list(key_cols)
+        ).createOrReplaceTempView(view)
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
         self.spark.sql(
             f"MERGE INTO {self.ident} t USING {view} s ON {on} "

