@@ -21,10 +21,10 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import REPO, run_bench  # noqa: E402
 
 LEVELS = {
     "lc-1x8": "local-cluster[1,8,8192]",
@@ -33,43 +33,43 @@ LEVELS = {
 
 
 def run_leg(master: str, n_seen: int) -> dict:
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_BENCH_MODE="bloom-only",
-        SPARK_GRAFT_BLOOM_SEEN=str(n_seen),
-        SPARK_GRAFT_MASTER=master,
-        PYSPARK_PYTHON=sys.executable,
-    )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.strip().splitlines()[-1]
-    return json.loads(out)["bloom_scale"]
+    return run_bench(
+        {
+            "SPARK_GRAFT_BENCH_MODE": "bloom-only",
+            "SPARK_GRAFT_BLOOM_SEEN": n_seen,
+            "SPARK_GRAFT_MASTER": master,
+        }
+    )["bloom_scale"]
 
 
 def main() -> None:
     n_seen = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    best: dict[str, dict] = {}
-    # interleave levels across passes: both sample the same VM windows
+    # EVERY pass is recorded (selecting a "best" pass by any one path's
+    # throughput would sample the other paths from that path's favorable
+    # VM windows — a biased comparison); per-pass speedups are
+    # within-JVM, so each pass is an internally consistent A/B even when
+    # the shared-VM grant moves between passes.
+    passes: dict[str, list[dict]] = {name: [] for name in LEVELS}
     for _ in range(n_passes):
         for name, master in LEVELS.items():
-            r = run_leg(master, n_seen)
-            if (
-                name not in best
-                or r["exact_urls_per_sec"] > best[name]["exact_urls_per_sec"]
-            ):
-                best[name] = r
+            passes[name].append(run_leg(master, n_seen))
+    summary = {
+        name: {
+            "bloom_speedup_per_pass": [p["bloom_speedup"] for p in runs],
+            "bloom_part_speedup_per_pass": [p["bloom_part_speedup"] for p in runs],
+        }
+        for name, runs in passes.items()
+    }
     out = {
         "n_seen": n_seen,
         "passes": n_passes,
-        "legs": best,
+        "legs": passes,
+        "speedups": summary,
         "note": (
-            "per-level best over interleaved fresh-JVM passes; speedups are "
-            "vs the exact anti-join at the SAME topology"
+            "all interleaved fresh-JVM passes recorded; speedups are vs the "
+            "exact anti-join of the SAME pass (same JVM, same VM window); "
+            "timing is per-round (probe build inside the clock)"
         ),
     }
     with open(os.path.join(REPO, "BENCH", "bloom_lc_ab.json"), "w") as fh:

@@ -23,10 +23,10 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import REPO, run_bench  # noqa: E402
 
 LEVELS = {
     "lc-1x8": ("local-cluster[1,8,8192]", 8),
@@ -38,23 +38,13 @@ LEVELS = {
 
 
 def run_level(master: str, rows: int, mode: str = "core-only") -> dict:
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_BENCH_MODE=mode,
-        SPARK_GRAFT_CORE_ROWS=str(rows),
-        SPARK_GRAFT_MASTER=master,
-        PYSPARK_PYTHON=sys.executable,
-        # default 8g driver heap — measured 2.7x FASTER than 48g at 32
-        # cores (G1 pause behavior dominates at large heaps here)
+    return run_bench(
+        {
+            "SPARK_GRAFT_BENCH_MODE": mode,
+            "SPARK_GRAFT_CORE_ROWS": rows,
+            "SPARK_GRAFT_MASTER": master,
+        }
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.strip().splitlines()[-1]
-    return json.loads(out)
 
 
 def _load_json(name: str):
@@ -224,13 +214,18 @@ threshold stays honest.
 
 r5 makes the dispatch TOPOLOGY-AWARE (VERDICT r4 wrong #1): the broadcast
 probe's per-round bitset collect + broadcast crosses real JVM boundaries
-on any multi-executor session — measured in the engaged regime (40M seen,
-2M candidates) at one vs four executor JVMs, interleaved fresh-JVM passes
-(BENCH/bloom_lc_ab.json). `BloomShards.probe()` now routes multi-JVM
-sessions (`cluster_executors > 1`) to the partition-aligned probe
-unconditionally and keeps the size dispatch for single-process sessions,
-where collect+broadcast never leaves the JVM and the broadcast probe is
-the measured winner.
+on any multi-executor session. Measured in the engaged regime (40M seen,
+2M candidates, probe BUILD inside the clock — the driver rebuilds the
+probe each round), interleaved fresh-JVM passes, all passes recorded
+(BENCH/bloom_lc_ab.json): at `local-cluster[4,8]` the partitioned probe
+beats the broadcast probe on every pass (1.09/0.85 vs 1.00/0.75 relative
+to the same-pass exact anti-join) and holds parity with exact — whose
+multi-JVM number is itself flattered by loopback shuffle; on a real
+network exact ships the O(seen) side every round while the probe ships
+O(candidate keys) + co-located shards. `BloomShards.probe()` therefore
+routes every non-local master to the partition-aligned probe and keeps
+the size dispatch for single-process sessions, where collect+broadcast
+never leaves the JVM.
 
 ## Crawl-bench A/B evidence (r3 — VERDICT r2 #1 closed)
 

@@ -78,11 +78,19 @@ class FakeDF:
         self.state.calls.append(f"dropDuplicates({list(cols)})")
         return self
 
+    def isEmpty(self):
+        return False
+
     def createOrReplaceTempView(self, name):
         self.state.calls.append(f"tempView({name})")
 
     def writeTo(self, ident):
         return FakeWriter(self.state, ident)
+
+
+class EmptyFakeDF(FakeDF):
+    def isEmpty(self):
+        return True
 
 
 class FakeReader:
@@ -276,6 +284,29 @@ def test_upsert_keys_merge_into_sql(fake):
     assert "WHEN MATCHED THEN UPDATE SET *" in merge
     assert "WHEN NOT MATCHED THEN INSERT *" in merge
     assert v == state.snapshots[-1] != v1
+
+
+def test_quiet_round_skips_empty_commits(fake):
+    """ADVICE r4 #3 on the Iceberg backend too: an empty additions batch
+    must not commit an append snapshot (the DELETE still runs — claimed
+    keys may be non-empty), and an empty upsert batch must skip the MERGE
+    entirely — otherwise quiet rounds accrue ~2 snapshots + metadata
+    files each between compactions."""
+    state, spark, t = fake
+    v1 = t.append(FakeDF(state))
+    n0 = len(state.calls)
+    v2 = t.claim_merge(spark, FakeDF(state), EmptyFakeDF(state), parent=v1)
+    calls = state.calls[n0:]
+    assert any(c.startswith("DELETE FROM") for c in calls)
+    assert not any(c.startswith("writeTo") for c in calls)  # append skipped
+    assert v2 == state.snapshots[-1]  # the DELETE's snapshot
+
+    n1 = len(state.calls)
+    v3 = t.upsert_keys(spark, EmptyFakeDF(state), key_cols=("host",), parent=v2)
+    assert not any(
+        c.startswith("MERGE INTO") for c in state.calls[n1:]
+    )  # no-op MERGE skipped
+    assert v3 == v2  # no snapshot committed
 
 
 def test_upsert_dedups_source_keys_before_merge(fake):

@@ -182,7 +182,13 @@ class IcebergTable:
         self.spark.sql(
             f"DELETE FROM {self.ident} WHERE {key_col} IN (SELECT {key_col} FROM {view})"
         )
-        additions.select([f.name for f in self.schema.fields]).writeTo(self.ident).append()
+        adds = additions.select([f.name for f in self.schema.fields])
+        # quiet rounds (ADVICE r4 #3, both backends): an empty append
+        # still commits a snapshot + metadata files — skip it. isEmpty is
+        # a limit-1 job over the round's (persisted) additions chain;
+        # SnapshotTable gets the same check free from parquet footers.
+        if not adds.isEmpty():
+            adds.writeTo(self.ident).append()
         return self.latest_version()
 
     def upsert_keys(
@@ -206,10 +212,13 @@ class IcebergTable:
         rows match one target row, and SnapshotTable.upsert_keys now
         dedups identically — one defined semantics on both backends."""
         self._fence(parent)
-        view = f"_upsert_rows_{self.name}"
-        rows.select([f.name for f in self.schema.fields]).dropDuplicates(
+        src = rows.select([f.name for f in self.schema.fields]).dropDuplicates(
             list(key_cols)
-        ).createOrReplaceTempView(view)
+        )
+        if src.isEmpty():  # quiet round: skip the no-op MERGE snapshot
+            return self.latest_version()
+        view = f"_upsert_rows_{self.name}"
+        src.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
         self.spark.sql(
             f"MERGE INTO {self.ident} t USING {view} s ON {on} "

@@ -428,7 +428,10 @@ class SnapshotTable:
         defined semantics on both backends (ADVICE r4 #2: Iceberg MERGE
         INTO fails at runtime on multi-match, while this path used to
         append both rows). Callers needing a specific winner must
-        pre-aggregate."""
+        pre-aggregate. Cost: one hash-aggregate exchange over the
+        incoming BATCH (≤ round_limit rows on the crawl path, one
+        trigger's keys on the streaming path) — O(batch), never
+        O(table)."""
         rows = rows.dropDuplicates(list(key_cols))
         pc = prune_col or key_cols[0]
         keys = rows.select(*dict.fromkeys([*key_cols, pc]))

@@ -190,6 +190,15 @@ def stream_update_counts_two_trigger(
         "_ts_l", F.col("ts").cast("timestamp").cast("long")
     )
     lo, hi = e.select(F.min("_ts_l"), F.max("_ts_l")).first()
+    if lo is None:  # empty input: nothing to split — one empty drain
+        return stream_update_counts(
+            spark,
+            parquet_path,
+            sink_dir=sink_dir,
+            checkpoint_dir=checkpoint_dir,
+            window=window,
+            watermark=watermark,
+        )
     mid = (int(lo) + int(hi)) // 2
     src = tempfile.mkdtemp(prefix="upd2-src-")
     drops = [
