@@ -170,7 +170,12 @@ def bench_core(spark, n_rows: int) -> dict:
     # variance on a shared box is large.
     run_once(None)
     wall = min(run_once(None) for _ in range(3))
-    bloom_wall = run_once(lambda: bloom.probe(shards))
+    # the bloom leg gets the SAME warmup + min-of-3 treatment — a single
+    # cold run (first compile of the probe plan shape) reads ~2x slow on
+    # this VM and fed BASELINE.md a spurious bloom-path regression
+    # (code-review r5 #4)
+    run_once(lambda: bloom.probe(shards))
+    bloom_wall = min(run_once(lambda: bloom.probe(shards)) for _ in range(3))
     n_sched = n_rows  # all candidates pass politeness at this budget
     return {
         "frontier_rows": n_rows,

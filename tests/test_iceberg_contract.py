@@ -81,6 +81,14 @@ class FakeDF:
     def isEmpty(self):
         return False
 
+    def persist(self):
+        # the real path persists the batch so the quiet-round isEmpty
+        # probe and the write evaluate the lineage once (code-review r5)
+        return self
+
+    def unpersist(self):
+        return self
+
     def createOrReplaceTempView(self, name):
         self.state.calls.append(f"tempView({name})")
 

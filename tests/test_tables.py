@@ -281,10 +281,24 @@ def test_delta_skips_empty_commits(spark, tmp_path):
     v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(1000)], SEEN))
     empty = spark.createDataFrame([], SEEN)
     no_keys = spark.createDataFrame([], "url_hash long")
-    # nothing claimed, nothing added: manifest identical, version bumps
+    # nothing claimed, nothing added: a true no-op — NO version bump at
+    # all (code-review r5 #2: one identical-file-list manifest per quiet
+    # round otherwise accrues forever under the keep-all vacuum default),
+    # and no manifest file written for a version past v1
     v2 = t.claim_merge(spark, no_keys, empty, parent=v1)
+    assert v2 == v1
+    assert t.latest_version() == v1
     assert t._read_manifest(v2) == t._read_manifest(v1)
-    assert v2 == v1 + 1
+    # quiet round with ORPHANS past the pinned parent (crashed run wrote
+    # v2'): the bump doubles as the fence — compact() reads
+    # latest_version(), so the no-op skip must NOT apply here
+    orphan_keys = spark.createDataFrame([(0,)], "url_hash long")
+    v_orphan = t.claim_merge(spark, orphan_keys, empty, parent=v1)
+    assert v_orphan > v1
+    v_fenced = t.claim_merge(spark, no_keys, empty, parent=v1)
+    assert v_fenced > v_orphan  # supersedes the orphan
+    assert t.read(spark, v_fenced).count() == 1000  # orphan delete fenced out
+    v2 = v_fenced
     # a claim that empties its touched files entirely: neither an empty
     # rewritten commit nor an empty additions commit may appear
     all_keys = spark.createDataFrame([(i,) for i in range(0, 200)], "url_hash long")

@@ -127,8 +127,12 @@ class CrawlConfig:
         m_bits = 2^25 (4 MB/shard, 16 GB total) ⇒ every topology routes to
         the partition-aligned probe — which is the deployment path."""
         if self.bloom_capacity:
-            per_shard_bits = self.bloom_bits_per_key * self.bloom_capacity
-            m_bits = 1 << max(20, (per_shard_bits // self.n_buckets).bit_length())
+            total_bits = self.bloom_bits_per_key * self.bloom_capacity
+            # next pow2 >= x is 1 << (x-1).bit_length(); the x.bit_length()
+            # form silently DOUBLES the bitset when x is itself a power of
+            # two (code-review r5 #3)
+            need = max(1, total_bits // self.n_buckets)
+            m_bits = max(1 << 20, 1 << (need - 1).bit_length())
         else:
             m_bits = 1 << 20
         knobs = {

@@ -182,13 +182,17 @@ class IcebergTable:
         self.spark.sql(
             f"DELETE FROM {self.ident} WHERE {key_col} IN (SELECT {key_col} FROM {view})"
         )
-        adds = additions.select([f.name for f in self.schema.fields])
         # quiet rounds (ADVICE r4 #3, both backends): an empty append
-        # still commits a snapshot + metadata files — skip it. isEmpty is
-        # a limit-1 job over the round's (persisted) additions chain;
+        # still commits a snapshot + metadata files — skip it. The batch
+        # is persisted so the isEmpty probe and the append evaluate the
+        # additions lineage ONCE, not twice (code-review r5 #1);
         # SnapshotTable gets the same check free from parquet footers.
-        if not adds.isEmpty():
-            adds.writeTo(self.ident).append()
+        adds = additions.select([f.name for f in self.schema.fields]).persist()
+        try:
+            if not adds.isEmpty():
+                adds.writeTo(self.ident).append()
+        finally:
+            adds.unpersist()
         return self.latest_version()
 
     def upsert_keys(
@@ -212,19 +216,25 @@ class IcebergTable:
         rows match one target row, and SnapshotTable.upsert_keys now
         dedups identically — one defined semantics on both backends."""
         self._fence(parent)
+        # persisted: the quiet-round isEmpty probe and the MERGE would
+        # otherwise each run the full dropDuplicates aggregate over the
+        # batch lineage (code-review r5 #1)
         src = rows.select([f.name for f in self.schema.fields]).dropDuplicates(
             list(key_cols)
-        )
-        if src.isEmpty():  # quiet round: skip the no-op MERGE snapshot
-            return self.latest_version()
-        view = f"_upsert_rows_{self.name}"
-        src.createOrReplaceTempView(view)
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        self.spark.sql(
-            f"MERGE INTO {self.ident} t USING {view} s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        ).persist()
+        try:
+            if src.isEmpty():  # quiet round: skip the no-op MERGE snapshot
+                return self.latest_version()
+            view = f"_upsert_rows_{self.name}"
+            src.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.ident} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            src.unpersist()
         return self.latest_version()
 
     def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> int:

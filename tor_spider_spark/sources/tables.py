@@ -301,13 +301,15 @@ class SnapshotTable:
                 # matches an equi-anti-join, so dropping it is exact.
                 vals = None
             return self._delta_apply(
-                spark, keys, join_cols, prune_col, vals, additions, entries, n_buckets
+                spark, keys, join_cols, prune_col, vals, additions, entries,
+                n_buckets, base,
             )
         finally:
             keys.unpersist()
 
     def _delta_apply(
-        self, spark, keys, join_cols, prune_col, vals, additions, entries, n_buckets
+        self, spark, keys, join_cols, prune_col, vals, additions, entries,
+        n_buckets, base,
     ) -> int:
         cols = [f.name for f in self.schema.fields]
         new_entries: list[str] = []
@@ -334,6 +336,7 @@ class SnapshotTable:
             )
             return self.overwrite(merged.unionByName(additions.select(cols)), n_buckets)
         new_entries.extend(untouched)
+        n_carried = len(new_entries)
         if touched:
             rewritten = (
                 spark.read.schema(self.schema)
@@ -346,6 +349,20 @@ class SnapshotTable:
         # otherwise accrue one empty commit dir + manifest growth per
         # round between compactions
         self._commit_if_nonempty(additions.select(cols), n_buckets, new_entries)
+        if (
+            not touched
+            and len(new_entries) == n_carried
+            and base == self.latest_version()
+        ):
+            # true no-op transition (no file rewritten, nothing added —
+            # e.g. host_state on a round with no host changes): skip the
+            # manifest bump entirely, or quiet rounds accrue one
+            # identical-file-list manifest per round forever (vacuum
+            # defaults to keep-all). ONLY in the no-orphan steady state:
+            # when a crashed round left versions past the pinned parent,
+            # the bump doubles as the fence — compact() reads
+            # latest_version() and would otherwise resurrect orphan rows.
+            return base
         v = self.latest_version() + 1
         self._write_manifest(v, new_entries)
         return v

@@ -216,7 +216,8 @@ def stream_update_counts_two_trigger(
                 os.utime(dst, (1000 + i, 1000 + i))  # mtime = drop order
                 moved = True
         shutil.rmtree(stage, ignore_errors=True)
-        assert moved, f"drop {name} wrote no parquet file"
+        if not moved:  # not assert: stripped under python -O
+            raise RuntimeError(f"drop {name} wrote no parquet file")
     return stream_update_counts(
         spark,
         src,
