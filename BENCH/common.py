@@ -25,15 +25,18 @@ def run_bench(env_overrides: dict) -> dict:
         PYSPARK_PYTHON=sys.executable,
         **{k: str(v) for k, v in env_overrides.items()},
     )
-    out = (
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        .stdout.strip()
-        .splitlines()[-1]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
     )
-    return json.loads(out)
+    if proc.returncode != 0:
+        # surface the Spark stack trace: CalledProcessError would discard
+        # the captured stderr and a multi-hour A/B run dies blind
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(
+            f"bench.py failed (exit {proc.returncode}) with overrides "
+            f"{env_overrides}; last stderr above"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])

@@ -156,12 +156,14 @@ def bench_core(spark, n_rows: int) -> dict:
         # on topology, so at local-cluster masters this leg measures the
         # partitioned probe — the path the engine actually takes there.
         probe = probe_factory() if probe_factory else None
-        candidates = collapse_candidates(frontier)
-        scheduled = schedule_round(candidates, robots, host_state, 1, cfg)
-        admitted = admit(scheduled, robots, seen, [".*blocked.*"], probe)
-        n_admitted[0] = admitted.count()
-        if probe is not None:
-            probe.release()
+        try:
+            candidates = collapse_candidates(frontier)
+            scheduled = schedule_round(candidates, robots, host_state, 1, cfg)
+            admitted = admit(scheduled, robots, seen, [".*blocked.*"], probe)
+            n_admitted[0] = admitted.count()
+        finally:
+            if probe is not None:  # a failed leg must not leak bitsets
+                probe.release()
         return time.time() - t0
 
     # exact path = what the engine picks at this seen size; the bloom
@@ -299,11 +301,13 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
         .localCheckpoint()
     )
     robots = spark.createDataFrame([], schemas.ROBOTS)
-    # size shards at ~10 bits/key for the ACTUAL seen count (the engine
-    # sizes via CrawlConfig.bloom_bits_per_key the same way) — an
+    # size shards at ~10 bits/key for the ACTUAL seen count, next-pow2-≥
+    # like CrawlConfig.bloom_knobs() (the x.bit_length() form doubles the
+    # bitset on exact powers of two — the engine and the bench must build
+    # the SAME bloom or the A/B measures a different operator) — an
     # undersized bloom saturates and marks everything "maybe"
     n_shards = 64
-    m_bits = 1 << max(20, (10 * n_seen // n_shards).bit_length())
+    m_bits = max(1 << 20, 1 << (max(1, 10 * n_seen // n_shards) - 1).bit_length())
     bloom = BloomShards(n_shards=n_shards, m_bits=m_bits, k=7)
     shards = bloom.update(
         spark.createDataFrame([], schemas.BLOOM_SHARDS), seen, 0
@@ -320,11 +324,15 @@ def bench_bloom_scale(spark, n_seen: int = 6_000_000, n_cand: int = 2_000_000, d
         spark.catalog.clearCache()
         t0 = time.time()
         probe = probe_factory() if probe_factory else None
-        admit(candidates, robots, seen, [".*blocked.*"], probe).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        if probe is not None:
-            probe.release()
+        try:
+            admit(candidates, robots, seen, [".*blocked.*"], probe).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        finally:
+            # without the finally a failed leg leaks the probe's broadcast
+            # bitsets (up to ~500 MB at 40M seen) into every later leg
+            if probe is not None:
+                probe.release()
         return time.time() - t0
 
     # the probe ships 2 longs/row through Arrow — large batches amortize

@@ -146,7 +146,15 @@ class IcebergTable:
         # after the checkpoint-pinned parent (a crash mid-round) are rolled
         # back before the re-run's append lands
         self._fence(parent)
-        df.select([f.name for f in self.schema.fields]).writeTo(self.ident).append()
+        # quiet rounds (ADVICE r4 #3): an empty append (no new seen rows,
+        # no pages fetched) still commits a snapshot + metadata files —
+        # skip it. Persisted so the probe and the write evaluate once.
+        batch = df.select([f.name for f in self.schema.fields]).persist()
+        try:
+            if not batch.isEmpty():
+                batch.writeTo(self.ident).append()
+        finally:
+            batch.unpersist()
         return self.latest_version()
 
     def _fence(self, parent: int | None) -> None:

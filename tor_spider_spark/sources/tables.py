@@ -144,7 +144,9 @@ class SnapshotTable:
         return [entry]
 
     def append(self, df: DataFrame, n_buckets: int | None = None, parent: int | None = None) -> int:
-        """New version = *parent*'s files + one new commit dir.
+        """New version = *parent*'s files + one new commit dir; an EMPTY
+        batch in the no-orphan steady state is a no-op (returns *parent*,
+        no manifest bump — ADVICE r4 #3).
 
         ``parent`` MUST be the checkpoint-pinned version when appends can
         race a crash: versions written after the last committed checkpoint
@@ -152,10 +154,19 @@ class SnapshotTable:
         ``latest_version()`` would fold their commit dirs into the new
         manifest — permanently duplicating rows on resume. Defaults to
         latest for standalone (non-checkpointed) use."""
-        commit = self._write_commit(df.select([f.name for f in self.schema.fields]), n_buckets)
         base = self.latest_version() if parent is None else parent
+        new_entries = list(self._read_manifest(base))
+        n_carried = len(new_entries)
+        self._commit_if_nonempty(
+            df.select([f.name for f in self.schema.fields]), n_buckets, new_entries
+        )
+        if len(new_entries) == n_carried and base == self.latest_version():
+            # quiet round (nothing to append — all-dup or end-game rounds
+            # hit this on seen/pages every round): no manifest bump. Only
+            # in the no-orphan steady state — see _delta_apply's skip.
+            return base
         v = self.latest_version() + 1
-        self._write_manifest(v, self._read_manifest(base) + [commit])
+        self._write_manifest(v, new_entries)
         return v
 
     def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> int:
@@ -264,13 +275,17 @@ class SnapshotTable:
             # a caller-supplied upper bound (the crawl driver passes
             # round_limit — the scheduler's hard cap) skips the guard's
             # count job on the per-round hot path; unhinted callers pay it
-            n_keys = keys_rows_hint if keys_rows_hint is not None else keys.count()
-            if n_keys > self.DELTA_KEYS_MAX_ROWS:
-                # unbounded key set: full rewrite (the old overwrite cost)
+            def full_rewrite() -> int:
+                # unbounded key set: the old overwrite cost — one shared
+                # path for the count guard and the violated-hint fallback
                 merged = self.read(spark, base).join(keys, join_cols, "left_anti")
                 return self.overwrite(
                     merged.unionByName(additions.select(cols)), n_buckets
                 )
+
+            n_keys = keys_rows_hint if keys_rows_hint is not None else keys.count()
+            if n_keys > self.DELTA_KEYS_MAX_ROWS:
+                return full_rewrite()
             # the hint is ADVISORY (ADVICE r4 #1): a caller under-reporting
             # the key count must not turn this collect into an unbounded
             # one, so it is limit-bounded; overflow proves the hint was
@@ -286,10 +301,7 @@ class SnapshotTable:
                 .collect()
             ]
             if len(raw) > self.DELTA_KEYS_MAX_ROWS:
-                merged = self.read(spark, base).join(keys, join_cols, "left_anti")
-                return self.overwrite(
-                    merged.unionByName(additions.select(cols)), n_buckets
-                )
+                return full_rewrite()
             vals = sorted(v for v in raw if v is not None)
             if any(v is None for v in raw) and (
                 len(join_cols) != 1 or join_cols[0] != prune_col
@@ -321,14 +333,15 @@ class SnapshotTable:
             untouched, touched = self._prune_entries(entries, prune_col, vals)
         else:
             untouched, touched = list(entries), []
-        n_files = len(touched) + sum(len(self._entry_files(e)) for e in untouched)
+        untouched_files = [f for e in untouched for f in self._entry_files(e)]
+        n_files = len(touched) + len(untouched_files)
         if touched and len(touched) > self.DELTA_TOUCHED_FRACTION_MAX * n_files:
             # pruning saturated (VERDICT r4 missing #3): rewriting nearly
             # every file through the delta path costs overwrite + footer
             # reads + an extra commit + carried-path bookkeeping. Take the
             # single-commit overwrite instead — version_new_bytes of the
             # transition ≈ the legacy overwrite, not overwrite-plus.
-            all_files = touched + [f for e in untouched for f in self._entry_files(e)]
+            all_files = touched + untouched_files
             merged = (
                 spark.read.schema(self.schema)
                 .parquet(*all_files)
