@@ -283,6 +283,13 @@ Crawl-wall cost of the delta path at fixture scale: +6.6% on the warm
 interleaved pass, inside the ±30% VM band (BENCH/claim_ab.json). The
 streaming update sink upserts through the same machinery (per-trigger
 write ∝ batch keys; tests/test_streaming_update.py asserts carried files).
+r5 removes the remaining per-round O(files) driver cost: commit-time
+`_stats.json` sidecars (per-file rows + sort-col rowgroup ranges, read
+once from the footers when the commit is written) serve the claim's file
+pruning, the scheduler's row-count hint and the empty-commit check with
+ONE JSON read per commit dir — at ~10^7 design-point files the pre-r5
+shape re-read every file's footer on the driver every round. Iceberg
+analog: per-manifest column bounds.
 
 ## Reference baseline
 

@@ -316,6 +316,13 @@ def test_quiet_round_skips_empty_commits(fake):
     )  # no-op MERGE skipped
     assert v3 == v2  # no snapshot committed
 
+    # plain append too (r5): all-dup / end-game rounds append zero
+    # seen/pages rows every round — an empty batch must not commit
+    n2 = len(state.calls)
+    v4 = t.append(EmptyFakeDF(state), parent=v3)
+    assert not any(c.startswith("writeTo") for c in state.calls[n2:])
+    assert v4 == v3  # no snapshot committed
+
 
 def test_upsert_dedups_source_keys_before_merge(fake):
     """ADVICE r4 #2: Iceberg MERGE INTO aborts at runtime when two source

@@ -395,3 +395,65 @@ def test_checkpoint_log_last(tmp_path):
     log.commit(0, {"seen": 1})
     log.commit(1, {"seen": 2})
     assert log.last() == {"round": 1, "versions": {"seen": 2}}
+
+
+def test_stats_sidecar_serves_prune_and_rowcount(spark, tmp_path, monkeypatch):
+    """r5: _write_commit records per-file rows + sort-col rowgroup ranges
+    in a _stats.json sidecar, so the per-round consumers (row_count, the
+    claim's file pruning) cost one JSON read per commit dir instead of
+    one parquet footer read per FILE — the O(files) driver pass that
+    dominates the claim at the 10^10 design point."""
+    import pyarrow.parquet as pq
+
+    import tor_spider_spark.sources.tables as tables_mod
+
+    t = SnapshotTable(
+        str(tmp_path), "f", SEEN, sort_col="url_hash",
+        max_records_per_file=250, range_partition=True,
+    )
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 5, 0) for i in range(10_000)], SEEN), n_buckets=4)
+    (commit,) = t._read_manifest(v1)
+    assert os.path.isfile(os.path.join(commit, SnapshotTable.STATS_NAME))
+
+    # a FRESH table object (empty cache), footers made unreadable: every
+    # read-only consumer must be served entirely by the sidecar
+    t2 = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="url_hash")
+
+    def _boom(*a, **k):
+        raise AssertionError("parquet footer read despite stats sidecar")
+
+    vals = [10, 260, 9_999]  # spans several 250-row files
+    with monkeypatch.context() as m:
+        m.setattr(pq, "ParquetFile", _boom)
+        assert t2.row_count(v1) == 10_000
+        untouched_sc, touched_sc = t2._prune_entries(
+            t2._read_manifest(v1), "url_hash", sorted(vals)
+        )
+    assert touched_sc and untouched_sc  # pruning engaged, not all-touched
+
+    # parity: deleting the sidecar falls back to footers with IDENTICAL
+    # prune decisions (pre-sidecar tables keep working)
+    os.remove(os.path.join(commit, SnapshotTable.STATS_NAME))
+    t3 = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="url_hash")
+    untouched_ft, touched_ft = t3._prune_entries(
+        t3._read_manifest(v1), "url_hash", sorted(vals)
+    )
+    assert (sorted(untouched_sc), sorted(touched_sc)) == (
+        sorted(untouched_ft), sorted(touched_ft),
+    )
+    assert t3.row_count(v1) == 10_000  # footer fallback
+
+
+def test_stats_encoder_roundtrip():
+    """Sidecar stat values survive JSON: int64 hashes, timestamps
+    (streaming sink prunes on hour), bytes; unsupported types degrade to
+    None (= unknown range → file touched), never to a wrong range."""
+    import datetime
+    import json as _json
+
+    enc, dec = SnapshotTable._enc_stat, SnapshotTable._dec_stat
+    ts = datetime.datetime(2026, 8, 17, 12, 34, 56, 789000)
+    for v in (-(2**63), 2**63 - 1, 0, 3.5, "abc", ts, b"\x00\xff"):
+        assert dec(_json.loads(_json.dumps(enc(v)))) == v
+    assert enc(True) is None  # bool is not a range-comparable stat
+    assert enc(object()) is None
