@@ -65,6 +65,8 @@ class FakeWriter:
 
 
 class FakeDF:
+    is_cached = False  # append persists only when the caller hasn't
+
     def __init__(self, state: FakeCatalogState):
         self.state = state
 

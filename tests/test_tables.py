@@ -405,8 +405,6 @@ def test_stats_sidecar_serves_prune_and_rowcount(spark, tmp_path, monkeypatch):
     dominates the claim at the 10^10 design point."""
     import pyarrow.parquet as pq
 
-    import tor_spider_spark.sources.tables as tables_mod
-
     t = SnapshotTable(
         str(tmp_path), "f", SEEN, sort_col="url_hash",
         max_records_per_file=250, range_partition=True,
@@ -457,3 +455,32 @@ def test_stats_encoder_roundtrip():
         assert dec(_json.loads(_json.dumps(enc(v)))) == v
     assert enc(True) is None  # bool is not a range-comparable stat
     assert enc(object()) is None
+
+
+def test_torn_stats_sidecar_never_deletes_data(spark, tmp_path, monkeypatch):
+    """code-review r5 #3: _commit_if_nonempty must NOT read an
+    unreadable/missing stats sidecar as 'zero rows' — a torn read right
+    after the write would rmtree a commit that holds the round's rows
+    (silent data loss). Contract: sidecar unreadable → footer fallback,
+    same as every other sidecar consumer."""
+    t = SnapshotTable(
+        str(tmp_path), "f", SEEN, sort_col="url_hash", max_records_per_file=200
+    )
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(500)], SEEN))
+
+    # every subsequent sidecar read returns None (torn/unreadable)
+    monkeypatch.setattr(SnapshotTable, "_load_stats", lambda self, d: None)
+
+    adds = spark.createDataFrame([(10_000 + i, 0, 1) for i in range(100)], SEEN)
+    v2 = t.append(adds, parent=v1)
+    assert v2 > v1
+    assert t.read(spark, v2).count() == 600  # footer fallback kept the rows
+
+    # and an actually-empty commit is still dropped by the footer path
+    v3 = t.append(spark.createDataFrame([], SEEN), parent=v2)
+    assert t.read(spark, v3).count() == 600
+    for entry in t._read_manifest(v3):
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in t._entry_files(entry))
+        assert rows > 0, f"empty commit {entry} in manifest"

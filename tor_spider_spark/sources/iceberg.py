@@ -148,13 +148,20 @@ class IcebergTable:
         self._fence(parent)
         # quiet rounds (ADVICE r4 #3): an empty append (no new seen rows,
         # no pages fetched) still commits a snapshot + metadata files —
-        # skip it. Persisted so the probe and the write evaluate once.
-        batch = df.select([f.name for f in self.schema.fields]).persist()
+        # skip it. Persist only when the caller hasn't already: the
+        # driver persists res.pages before calling append, and a second
+        # MEMORY_AND_DISK copy of the largest DataFrame in the system
+        # (page bodies + image blobs) would be pure eviction pressure.
+        batch = df.select([f.name for f in self.schema.fields])
+        own_persist = not df.is_cached
+        if own_persist:
+            batch = batch.persist()
         try:
             if not batch.isEmpty():
                 batch.writeTo(self.ident).append()
         finally:
-            batch.unpersist()
+            if own_persist:
+                batch.unpersist()
         return self.latest_version()
 
     def _fence(self, parent: int | None) -> None:

@@ -526,8 +526,22 @@ class SnapshotTable:
         import shutil
 
         commit = self._write_commit(df, n_buckets)
-        stats = self._load_stats(commit) or {}
-        if any(meta.get("rows", 0) > 0 for meta in stats.values()):
+        stats = self._load_stats(commit)
+        if stats is not None:
+            nonempty = any(meta.get("rows", 0) > 0 for meta in stats.values())
+        else:
+            # unreadable/missing sidecar: do NOT assume empty — a torn
+            # read here must never delete a commit that holds rows.
+            # Fall back to the footers (same source the sidecar was
+            # built from); an I/O error there raises instead of losing
+            # data, matching the pre-sidecar behavior.
+            import pyarrow.parquet as pq
+
+            nonempty = any(
+                pq.ParquetFile(f).metadata.num_rows > 0
+                for f in self._entry_files(commit)
+            )
+        if nonempty:
             new_entries.append(commit)
         else:
             shutil.rmtree(commit, ignore_errors=True)
