@@ -422,6 +422,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text"), 3, token_hash=md5_60bit_hash
         ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
 
+    def dedup_phash_hamming(spark, sf):
+        """IMAGE near-dup pairs: perceptual-hash hamming distance ≤ 6 via
+        multi-index pigeonhole banding (7 bands over the int64 phash —
+        operators/dedup.py:hamming_near_dup_pairs), verified with native
+        bit_count(xor). Input is the committed deterministic phash corpus
+        (scripts/make_golden.py — ignores sf); the DuckDB oracle computes
+        the same pair set independently via an exact cross join."""
+        from tor_spider_spark.operators.dedup import phash_near_dup_pairs
+
+        imgs = spark.read.parquet(_GOLDEN_PHASH)
+        return phash_near_dup_pairs(imgs, 6).select(
+            "i", "j", F.col("hamming").cast("int").alias("hamming")
+        )
+
     def dedup_embedding_cosine(spark, sf):
         # blocked BLAS matmul via mapInPandas (operators/similarity.py) —
         # the Catalyst per-pair dot product is ~50x slower at sf0.1
@@ -627,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
+        "dedup_phash_hamming": dedup_phash_hamming,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_clusters": dedup_embedding_clusters,
         "bpe_token_count": bpe_token_count,
@@ -742,6 +757,10 @@ _GOLDEN_CRAWL = os.path.join(
     "fixtures",
     "golden",
     "crawl_pages_smoke_r3.parquet",
+)
+
+_GOLDEN_PHASH = os.path.join(
+    os.path.dirname(_GOLDEN_CRAWL), "phash_corpus_smoke.parquet"
 )
 
 
@@ -888,6 +907,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
         "dedup_simhash": _simhash_sql(),
+        "dedup_phash_hamming": f"""
+            select a.image_id as i, b.image_id as j,
+                   cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+            from read_parquet('{_GOLDEN_PHASH}') a
+            join read_parquet('{_GOLDEN_PHASH}') b on a.image_id < b.image_id
+            where bit_count(xor(a.phash, b.phash)) <= 6""",
         "dedup_clusters": f"""
             with recursive
             pairs as (select i, j from ({_SHINGLE_CTE})),

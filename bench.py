@@ -415,6 +415,7 @@ _BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_phash_hamming",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",

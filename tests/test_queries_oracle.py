@@ -105,3 +105,16 @@ def test_rows_only_queries_run(spark):
     for name in ("hash64", "approx_distinct", "ann_lsh", "ann_ivf", "doc_fingerprint"):
         df = _QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
+
+
+def test_golden_phash_corpus_is_fresh():
+    """The committed phash corpus must equal what scripts/make_golden.py
+    generates TODAY (both the Spark query and its oracle read it as
+    input — a stale file silently weakens the dedup_phash_hamming row)."""
+    import pyarrow.parquet as pq
+
+    from scripts.make_golden import GOLDEN_PHASH, phash_corpus_table
+
+    assert pq.read_table(GOLDEN_PHASH).equals(phash_corpus_table()), (
+        "phash corpus stale — re-run scripts/make_golden.py"
+    )

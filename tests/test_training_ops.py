@@ -249,3 +249,67 @@ def test_winnow_fingerprints_overlap_for_near_dups(spark):
     j02 = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
     j03 = len(fps[0] & fps[3]) / len(fps[0] | fps[3])
     assert j02 > 0.5 > j03  # near-dup overlaps strongly, unrelated doesn't
+
+
+def test_phash_hamming_near_dup_equals_brute_force(spark):
+    """The banded phash join (r5, image-payload twin of simhash) must
+    return EXACTLY the brute-force pair set at every distance 0..6 —
+    pigeonhole guarantees no candidate misses, bit_count(xor) verifies;
+    planted variants recovered, above-threshold decoys excluded."""
+    import random
+
+    from tor_spider_spark.operators.dedup import phash_near_dup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        u = rng.getrandbits(64)
+        rows.append((f"i{i:04d}", u - (1 << 64) if u >= 1 << 63 else u))
+        if i % 5 == 0:  # planted near-dup at distance 1..6
+            v = u
+            for b in rng.sample(range(64), 1 + i // 5 % 6):
+                v ^= 1 << b
+            rows.append((f"i{i:04d}n", v - (1 << 64) if v >= 1 << 63 else v))
+        if i % 25 == 0:  # decoy at distance 7..10 — must NOT be returned
+            v = u
+            for b in rng.sample(range(64), 7 + i // 25 % 4):
+                v ^= 1 << b
+            rows.append((f"i{i:04d}d", v - (1 << 64) if v >= 1 << 63 else v))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+
+    got = {
+        (r["i"], r["j"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_dist=6).collect()
+    }
+    by_id = dict(rows)
+    expect = set()
+    ids = sorted(by_id)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin((by_id[ids[x]] ^ by_id[ids[y]]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                expect.add((ids[x], ids[y], d))
+    assert got == expect
+    assert len(expect) >= 80  # planted pairs really exist
+    assert not any(i.endswith("d") or j.endswith("d") for i, j, _ in got)
+
+
+def test_hamming_band_widths_tile_64_bits(spark):
+    """Generic banding must stay correct at any max_dist: distance-exact
+    pairs at the threshold boundary are found for non-uniform band
+    widths (64 not divisible by max_dist+1)."""
+    from tor_spider_spark.operators.dedup import hamming_near_dup_pairs
+
+    base = -(1 << 63) + 12345
+    for k in (0, 4, 9):
+        flip = base
+        for b in range(k):
+            flip ^= 1 << (6 * b + 1)  # exactly k flipped bits, spread out
+        df = spark.createDataFrame(
+            [(1, base), (2, flip)], "id long, sig long"
+        )
+        got = hamming_near_dup_pairs(df, "id", "sig", k).collect()
+        assert [(r["i"], r["j"], r["hamming"]) for r in got] == [(1, 2, k)], k
+        if k:  # one bit beyond the threshold → excluded
+            miss = hamming_near_dup_pairs(df, "id", "sig", k - 1).collect()
+            assert miss == []

@@ -274,29 +274,53 @@ def simhash_signatures(docs: DataFrame, token_hash=None) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) -> DataFrame:
-    """Pairs with SimHash hamming distance ≤ max_hamming. Candidates via
-    pigeonhole banding (4 × 16-bit chunks: distance ≤ 3 ⇒ some chunk is
-    equal) — join on chunk, never a cross join; verified with
-    bit_count(xor)."""
-    sig = simhash_signatures(docs, token_hash).localCheckpoint()
+def hamming_near_dup_pairs(
+    sig: DataFrame, id_col: str, sig_col: str, max_dist: int
+) -> DataFrame:
+    """All (i, j, hamming) pairs with hamming(sig_i, sig_j) ≤ *max_dist*
+    over a 64-bit signature column — never a cross join.
+
+    Multi-index pigeonhole (public technique — Norouzi et al., "Fast
+    Search in Hamming Space with Multi-Index Hashing"): split the 64
+    bits into b = max_dist+1 contiguous bands; any pair within distance
+    max_dist has zero differing bits in at least one band, so an
+    equi-join on (band_idx, band_value) generates every true pair as a
+    candidate. Candidates are verified with native bit_count(xor).
+
+    100 TB shape: the explode ships b small rows per signature and the
+    join shuffles on (band, value) — O(rows·b), no pairwise blowup
+    outside genuinely colliding buckets (AQE splits hub buckets). Both
+    signatures ride along the band rows, so verification needs no
+    second join against the input."""
+    if not 0 <= max_dist < 64:
+        raise ValueError(f"max_dist must be in [0, 64): {max_dist}")
+    n_bands = max_dist + 1
+    width, extra = divmod(64, n_bands)
+    # first `extra` bands get one extra bit; offsets tile all 64 bits
+    bands, off = [], 0
+    for c in range(n_bands):
+        w = width + (1 if c < extra else 0)
+        # w == 64 (max_dist=0): the band is the whole signature — an
+        # all-ones int64 mask is -1, not (1<<64)-1 (overflows int64)
+        bands.append((c, off, -1 if w == 64 else (1 << w) - 1))
+        off += w
     chunks = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(sig_col), o)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c, o, mask in bands
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.chunk", "b.cv")
+    ).select("_id", "_sig", "b.chunk", "b.cv")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -304,13 +328,33 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) ->
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col("a._id").alias("i"),
+            F.col("b._id").alias("j"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_dist)
     )
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming. Candidates via
+    pigeonhole banding (for the default 3: 4 × 16-bit chunks — distance
+    ≤ 3 ⇒ some chunk is equal), verified with bit_count(xor). Delegates
+    to :func:`hamming_near_dup_pairs`."""
+    sig = simhash_signatures(docs, token_hash).localCheckpoint()
+    return hamming_near_dup_pairs(sig, "doc_id", "simhash", max_hamming)
+
+
+def phash_near_dup_pairs(images: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
+    over the input-table shape (image_id, ..., phash:int64) — the
+    image-payload twin of :func:`simhash_dup_pairs`. The reference
+    stores pages keyed by URL with no content dedup (tor-spider
+    elasticpagestorage.go persists every fetch); this is the
+    training-data extension: phash collapses re-encodes/resizes of the
+    same image across mirrors, which URL-level dedup cannot see."""
+    return hamming_near_dup_pairs(images, "image_id", "phash", max_dist)
