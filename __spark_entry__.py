@@ -436,6 +436,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "i", "j", F.col("hamming").cast("int").alias("hamming")
         )
 
+    def dedup_phash_clusters(spark, sf):
+        """Image near-dup clusters: banded phash pairs → pointer-jumping
+        connected components (string node ids — exercises the r5
+        type-generic convergence check). Oracle: recursive-CTE closure
+        over the exact cross-join pair set."""
+        from tor_spider_spark.operators.dedup import phash_near_dup_clusters
+
+        return phash_near_dup_clusters(spark.read.parquet(_GOLDEN_PHASH), 6)
+
     def dedup_embedding_cosine(spark, sf):
         # blocked BLAS matmul via mapInPandas (operators/similarity.py) —
         # the Catalyst per-pair dot product is ~50x slower at sf0.1
@@ -642,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_phash_hamming": dedup_phash_hamming,
+        "dedup_phash_clusters": dedup_phash_clusters,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_clusters": dedup_embedding_clusters,
         "bpe_token_count": bpe_token_count,
@@ -913,6 +923,24 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{_GOLDEN_PHASH}') a
             join read_parquet('{_GOLDEN_PHASH}') b on a.image_id < b.image_id
             where bit_count(xor(a.phash, b.phash)) <= 6""",
+        "dedup_phash_clusters": f"""
+            with recursive
+            pairs as (
+              select a.image_id as i, b.image_id as j
+              from read_parquet('{_GOLDEN_PHASH}') a
+              join read_parquet('{_GOLDEN_PHASH}') b on a.image_id < b.image_id
+              where bit_count(xor(a.phash, b.phash)) <= 6),
+            edges as (select i as a, j as b from pairs
+                      union all
+                      select j as a, i as b from pairs),
+            nodes as (select distinct a as node from edges),
+            reach(node, label) as (
+              select node, node from nodes
+              union
+              select e.a, r.label from edges e join reach r on e.b = r.node
+            )
+            select node as image_id, min(label) as cluster
+            from reach group by node""",
         "dedup_clusters": f"""
             with recursive
             pairs as (select i, j from ({_SHINGLE_CTE})),

@@ -416,6 +416,7 @@ _BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_phash_hamming",
+    "dedup_phash_clusters",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",

@@ -196,13 +196,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     happen for any realistic input, so this means a logic bug — raise
     instead of returning wrong clusters.
 
-    Deterministic fixpoint detection without collecting labels: min-labels
-    only ever decrease, so the label SUM strictly decreases until the
-    fixpoint — one tiny agg per iteration. Each iteration localCheckpoints
-    to truncate lineage (standard iterative-algorithm hygiene). Scale
-    shape: per iteration one shuffle of |edges| and two of |nodes| (the
-    jump join) — the pointer-jump join is on the NODE table, which at
-    dup-pair densities is the small side."""
+    Deterministic fixpoint detection without collecting labels: count the
+    nodes whose label changed this iteration (old label carried alongside
+    the new one — no extra join) and stop at zero. Works for ANY
+    orderable id type (long doc ids, string image ids) — r5 replaces the
+    earlier label-SUM check, which was numeric-only. One tiny agg per
+    iteration either way. Each iteration localCheckpoints to truncate
+    lineage (standard iterative-algorithm hygiene). Scale shape: per
+    iteration one shuffle of |edges| and two of |nodes| (the jump join)
+    — the pointer-jump join is on the NODE table, which at dup-pair
+    densities is the small side."""
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .unionByName(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
@@ -212,7 +215,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]  # scalar, bounded
     for _ in range(max_iter):
         # (1) min label across edges
         neigh = (
@@ -220,21 +222,32 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
-        labels = labels.join(neigh, labels["node"] == neigh["a"], "left").select(
-            "node", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
+        stepped = labels.join(neigh, labels["node"] == neigh["a"], "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
         )
         # (2) pointer jump: follow the label one more step (label is always
         # a node of the same component, so this never crosses components)
-        jump = labels.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
-        labels = (
-            labels.join(jump, labels["label"] == jump["jn"], "left")
-            .select("node", F.least(F.col("label"), F.coalesce("jl", "label")).alias("label"))
+        jump = stepped.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+        stepped = (
+            stepped.join(jump, stepped["label"] == jump["jn"], "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(F.col("label"), F.coalesce("jl", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = (
+            stepped.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("c")
+            ).collect()[0][0]
+            or 0
+        )
+        labels = stepped.drop("old_label")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
@@ -347,6 +360,17 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) ->
     to :func:`hamming_near_dup_pairs`."""
     sig = simhash_signatures(docs, token_hash).localCheckpoint()
     return hamming_near_dup_pairs(sig, "doc_id", "simhash", max_hamming)
+
+
+def phash_near_dup_clusters(images: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Image near-dup CLUSTERS: banded phash pairs → connected
+    components — the "keep one image per near-dup cluster" pipeline
+    step. Returns (image_id, cluster) with cluster = lexicographic min
+    image_id reachable through the pair graph."""
+    pairs = phash_near_dup_pairs(images, max_dist)
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster"
+    )
 
 
 def phash_near_dup_pairs(images: DataFrame, max_dist: int = 6) -> DataFrame:
