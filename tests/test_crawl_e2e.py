@@ -164,3 +164,34 @@ def test_body_size_cap_f9(spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, 
     assert len(eng) < len(smoke_sim.pages)  # the cap actually dropped rows
     for r in drv.read("pages").select("bytes").collect():
         assert r["bytes"] is None or len(r["bytes"]) <= cap
+
+
+def test_phash_content_dedup_matches_simulator(
+    spark, tmp_path, smoke_dfs, smoke_fixture, smoke_cfg, smoke_sim
+):
+    """r5 content dedup (cfg.phash_dedup_dist): pages whose phash is
+    within k of a stored or lower-url same-round page are NOT stored;
+    engine (banded hamming joins vs the pinned pages table) must equal
+    the simulator's brute-force replay, and schedule/seen must be
+    UNTOUCHED (storage-only, like the F9 body cap). k=16 because the
+    SMOKE corpus has measured pairs at d≤16 but none at d≤6."""
+    import dataclasses
+
+    from tor_spider_spark.simulator import simulate
+
+    cfg = dataclasses.replace(smoke_cfg, phash_dedup_dist=16)
+    sim = simulate(smoke_fixture, cfg)
+    drv = _run(spark, tmp_path / "phash-dedup", smoke_dfs, smoke_fixture, cfg, False)
+
+    eng = sorted(
+        (r["url"], r["round"], r["phash"])
+        for r in drv.read("pages").select("url", "round", "phash").collect()
+    )
+    gold = sorted((p["url"], p["round"], p["phash"]) for p in sim.pages)
+    assert eng == gold
+    assert len(eng) < len(smoke_sim.pages)  # the dedup actually dropped rows
+    # traversal unaffected: schedule and seen equal the undeduped run
+    assert sim.schedule == smoke_sim.schedule
+    assert sim.seen_hashes() == smoke_sim.seen_hashes()
+    seen_eng = {r["url_hash"]: r["first_round"] for r in drv.read("seen").collect()}
+    assert seen_eng == smoke_sim.seen_hashes()

@@ -97,6 +97,16 @@ class CrawlConfig:
     # When set, oversized pages are dropped from the pages sink but their
     # links still expand (colly caps the BODY, not the traversal).
     max_body_bytes: int | None = None
+    # content dedup at page-store time (r5, image-payload extension; OFF
+    # by default — the reference stores every fetch, so the frozen
+    # semantics are unchanged unless set): a page is NOT stored when its
+    # phash is within this hamming distance of (a) any page stored in a
+    # previous round, or (b) a same-round candidate page with a
+    # lexicographically smaller url (deterministic dominance rule —
+    # order-free, expressible as one banded join in both the engine and
+    # the pure-Python simulator). Storage-only, like the F9 body cap:
+    # traversal, frontier, and seen are unaffected.
+    phash_dedup_dist: int | None = None
     # compact append-only tables (seen/pages) every k rounds: bounds the
     # manifest/file count over long crawls (Iceberg rewrite_data_files
     # analog); 0 = off

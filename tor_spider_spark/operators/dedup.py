@@ -305,34 +305,10 @@ def hamming_near_dup_pairs(
     outside genuinely colliding buckets (AQE splits hub buckets). Both
     signatures ride along the band rows, so verification needs no
     second join against the input."""
-    if not 0 <= max_dist < 64:
-        raise ValueError(f"max_dist must be in [0, 64): {max_dist}")
-    n_bands = max_dist + 1
-    width, extra = divmod(64, n_bands)
-    # first `extra` bands get one extra bit; offsets tile all 64 bits
-    bands, off = [], 0
-    for c in range(n_bands):
-        w = width + (1 if c < extra else 0)
-        # w == 64 (max_dist=0): the band is the whole signature — an
-        # all-ones int64 mask is -1, not (1<<64)-1 (overflows int64)
-        bands.append((c, off, -1 if w == 64 else (1 << w) - 1))
-        off += w
     chunks = sig.select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col(sig_col), o)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("cv"),
-                    )
-                    for c, o, mask in bands
-                ]
-            )
-        ).alias("b"),
+        F.explode(F.array(*_band_exprs(sig_col, max_dist))).alias("b"),
     ).select("_id", "_sig", "b.chunk", "b.cv")
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -350,6 +326,61 @@ def hamming_near_dup_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_dist)
+    )
+
+
+def _band_exprs(sig_col: str, max_dist: int):
+    """(band_idx, band_value) struct expressions tiling 64 bits into
+    max_dist+1 contiguous bands — shared by the self-join and semi-join
+    hamming operators."""
+    if not 0 <= max_dist < 64:
+        raise ValueError(f"max_dist must be in [0, 64): {max_dist}")
+    n_bands = max_dist + 1
+    width, extra = divmod(64, n_bands)
+    exprs, off = [], 0
+    for c in range(n_bands):
+        w = width + (1 if c < extra else 0)
+        # w == 64 (max_dist=0): the band is the whole signature — an
+        # all-ones int64 mask is -1, not (1<<64)-1 (overflows int64)
+        mask = -1 if w == 64 else (1 << w) - 1
+        exprs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col(sig_col), off)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+        )
+        off += w
+    return exprs
+
+
+def hamming_semi_keys(
+    left: DataFrame,
+    id_col: str,
+    sig_col: str,
+    ref: DataFrame,
+    ref_sig_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Distinct *id_col* values of *left* rows whose signature is within
+    hamming *max_dist* of ANY *ref* signature — the cross-set semi form
+    of :func:`hamming_near_dup_pairs` (same pigeonhole banding, same
+    100 TB shape: shuffle on (band, value), never a cross join)."""
+    lb = left.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*_band_exprs(sig_col, max_dist))).alias("b"),
+    ).select("_id", "_sig", "b.chunk", "b.cv")
+    rb = ref.select(
+        F.col(ref_sig_col).alias("_rsig"),
+        F.explode(F.array(*_band_exprs(ref_sig_col, max_dist))).alias("b"),
+    ).select("_rsig", "b.chunk", "b.cv")
+    return (
+        lb.join(rb, ["chunk", "cv"])
+        .where(F.bit_count(F.col("_sig").bitwiseXOR(F.col("_rsig"))) <= max_dist)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
     )
 
 

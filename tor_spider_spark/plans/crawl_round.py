@@ -60,6 +60,7 @@ def run_round(
     bloom_probe=None,
     frontier_rows: int | None = None,
     broadcast_dims: bool = True,
+    stored_phashes: DataFrame | None = None,
 ) -> RoundResult:
     from pyspark.sql import Observation
 
@@ -169,9 +170,33 @@ def run_round(
         "caption",
         "phash",
     )
-    if cfg.max_body_bytes is not None:
-        # F9 active: count the STORED pages, not the fetched rows — the
-        # metrics/CrawlSummary must not overstate when the cap drops rows
+    if cfg.phash_dedup_dist is not None:
+        # content dedup at store time (r5; storage-only, like F9): drop a
+        # page whose phash is within k of (a) any page stored in a prior
+        # round (banded semi vs the slim stored-phash column) or (b) a
+        # same-round candidate with a smaller url (banded self-join pairs
+        # are emitted as i<j on url, so dropping every j IS the
+        # deterministic dominance rule). Never a cross join; shuffle is
+        # O(pages·bands) either way.
+        from tor_spider_spark.operators.dedup import (
+            hamming_near_dup_pairs,
+            hamming_semi_keys,
+        )
+
+        k = cfg.phash_dedup_dist
+        slim = pages.select("url", "phash")
+        drops = hamming_near_dup_pairs(slim, "url", "phash", k).select(
+            F.col("j").alias("url")
+        )
+        if stored_phashes is not None:
+            drops = drops.unionByName(
+                hamming_semi_keys(slim, "url", "phash", stored_phashes, "phash", k)
+            )
+        pages = pages.join(drops.distinct(), "url", "left_anti")
+    if cfg.max_body_bytes is not None or cfg.phash_dedup_dist is not None:
+        # F9 / phash dedup active: count the STORED pages, not the fetched
+        # rows — the metrics/CrawlSummary must not overstate when a filter
+        # drops rows
         pages = pages.persist()
         persisted.append(pages)
         n_pages_override = pages.count()

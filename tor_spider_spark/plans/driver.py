@@ -277,6 +277,17 @@ class CrawlDriver:
                     host_state_rows is not None
                     and robots_rows + host_state_rows <= cfg.broadcast_dim_max_rows
                 ),
+                # content dedup (cfg.phash_dedup_dist): the stored-phash
+                # reference is ONE pruned column of the pages table at the
+                # checkpoint-pinned version (prior rounds only — this
+                # round's own pages dedup intra-round inside run_round);
+                # pinning makes resume re-runs see exactly what the
+                # original run saw
+                stored_phashes=(
+                    t["pages"].read(spark, pinned["pages"]).select("phash")
+                    if cfg.phash_dedup_dist is not None
+                    else None
+                ),
             )
             t_compute = time.time()
             # next-round seed rows (periodic re-seeds + streamed periodic

@@ -98,6 +98,7 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
     ]
     periodic = [s for s in fixture.seeds if s.get("recrawl_every", 0) > 0]
     last_fetch_round: dict[str, int] = {}
+    stored_phashes: list[int] = []  # only consulted under phash_dedup_dist
     res = SimResult()
 
     def total_order_key(row: dict):
@@ -181,6 +182,7 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
         # (6)+(7) fetch + pages (pages for onion 200s only — the seed
         # collector saves no pages; clearnet bodies are never stored)
         discovered: dict[str, dict] = {}
+        round_pages: list[dict] = []
         for row in admitted:
             last_fetch_round[row["_host"]] = rnd
             page = corpus.get(row["url"])
@@ -193,7 +195,7 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
                 and len(blob) > cfg.max_body_bytes
             )
             if _ONION_RE.match(row["url"]) and not too_big:
-                res.pages.append(
+                round_pages.append(
                     {
                         "url": row["url"],
                         "round": rnd,
@@ -225,6 +227,32 @@ def simulate(fixture: Fixture, cfg: CrawlConfig | None = None) -> SimResult:
                         "discovered_round": rnd + 1,
                         "is_seed": not child_onion,
                     }
+
+        # (7b) content dedup at store time (cfg.phash_dedup_dist; OFF by
+        # default — frozen semantics unchanged): keep a candidate page
+        # iff no previously STORED page and no same-round CANDIDATE with
+        # a smaller url is within k hamming bits of its phash (the same
+        # dominance rule the engine's banded joins implement)
+        if cfg.phash_dedup_dist is not None:
+            k = cfg.phash_dedup_dist
+            mask = (1 << 64) - 1
+
+            def _ham(a: int, b: int) -> int:
+                return bin((a ^ b) & mask).count("1")
+
+            kept = [
+                p
+                for p in round_pages
+                if not any(_ham(p["phash"], q) <= k for q in stored_phashes)
+                and not any(
+                    c["url"] < p["url"] and _ham(p["phash"], c["phash"]) <= k
+                    for c in round_pages
+                )
+            ]
+            stored_phashes.extend(p["phash"] for p in kept)
+            res.pages.extend(kept)
+        else:
+            res.pages.extend(round_pages)
 
         # (10) frontier admission: anti-join seen
         for cu, row in sorted(discovered.items()):
