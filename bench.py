@@ -499,6 +499,7 @@ def main() -> None:
                 table_max_records_per_file=20_000,
                 compact_every=3,
                 vacuum_keep_versions=2,
+                phash_dedup_dist=16,
             ),
         )
         result["queries"] = bench_queries(spark, sf_dir)

@@ -38,6 +38,9 @@ SOAK_CFG = CrawlConfig(
     table_max_records_per_file=4,  # aggressive chunking at toy scale
     compact_every=4,
     vacuum_keep_versions=2,
+    # r5 content dedup engaged too: the banded page-store joins must
+    # survive compaction/vacuum of the pages table they semi-join
+    phash_dedup_dist=16,
 )
 
 
@@ -143,6 +146,7 @@ def test_design_point_cfg_is_scale_shaped():
     assert SOAK_CFG.delta_claim
     assert SOAK_CFG.bloom_min_seen == 0
     assert SOAK_CFG.bloom_knobs()["broadcast_max_bytes"] == 0
+    assert SOAK_CFG.phash_dedup_dist is not None
     assert SOAK_CFG.table_max_records_per_file > 0
     assert SOAK_CFG.compact_every > 0 and SOAK_CFG.vacuum_keep_versions > 0
     replaced = dataclasses.replace(SOAK_CFG, bloom_broadcast_max_bytes=None)
