@@ -395,6 +395,12 @@ class SnapshotTable:
         keys_rows_hint: int | None = None,
     ) -> int:
         cols = [f.name for f in self.schema.fields]
+        missing = [c for c in dict.fromkeys([*join_cols, prune_col]) if c not in delete_keys.columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys must carry {missing}: when prune_col differs from "
+                "the join key it rides along the key rows (see claim_merge)"
+            )
         base = self.latest_version() if parent is None else parent
         entries = self._read_manifest(base)
         # keep the prune column alongside the join keys (they may differ:
