@@ -279,8 +279,10 @@ answer there is the Iceberg backend's merge-on-read DELETE/MERGE INTO
 (O(batch) positional-delete records regardless of layout) — DDL pins the
 merge-on-read write modes and the call sequences are contract-tested
 (tests/test_iceberg_contract.py); the jar cannot execute in this sandbox.
-Crawl-wall cost of the delta path at fixture scale: +6.6% on the warm
-interleaved pass, inside the ±30% VM band (BENCH/claim_ab.json). The
+Crawl-wall cost of the delta path at fixture scale: PARITY with the
+legacy overwrite after the r5 stats sidecars removed the per-round
+footer reads (min-of-3 fresh-JVM interleave 50.5 s vs 51.1 s, ratio
+0.99; the pre-sidecar r4 pass measured +6.6% — BENCH/claim_ab.json). The
 streaming update sink upserts through the same machinery (per-trigger
 write ∝ batch keys; tests/test_streaming_update.py asserts carried files).
 r5 removes the remaining per-round O(files) driver cost: commit-time
