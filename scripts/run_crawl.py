@@ -59,6 +59,9 @@ def main() -> None:
                 "scheduled": summary.n_scheduled,
                 "admitted": summary.n_admitted,
                 "pages": summary.n_pages,
+                # proves which cluster actually ran the job (a submitted
+                # --master must never be silently overridden by get_spark)
+                "master": spark.sparkContext.master,
                 "round_stats": summary.round_stats,
             }
         )

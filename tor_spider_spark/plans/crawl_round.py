@@ -41,9 +41,19 @@ class RoundResult:
     # claim_merge/upsert_keys from these instead of full overwrites):
     discovered_rows: DataFrame  # the round's NEW frontier rows only
     host_delta: DataFrame  # hosts whose last_fetch_round changed
-    n_scheduled: int
-    n_admitted: int
-    n_pages: int
+    # n_scheduled / n_admitted / n_pages are DERIVED BY THE DRIVER from
+    # what was actually persisted (commit-sidecar row-count deltas; one
+    # cached count for admitted) — not measured here. The former
+    # Observation (CollectMetrics) counters double-counted under a
+    # multi-JVM master: the observed cached-but-unmaterialized `scheduled`
+    # subtree appears twice in the materializing action's plan (via
+    # fetched and via seen_next), and when two executors race cache
+    # population both branches execute it, inflating the metric (measured:
+    # round-2 n_scheduled=16 vs 8 stored rows at local-cluster[2,2] under
+    # spark-submit; the stored tables were always correct). n_pages is
+    # populated here only on the filtered path (body cap / phash dedup),
+    # where the count job doubles as the pages-cache materializer.
+    n_pages: int | None
     n_discovered: int
 
 
@@ -62,16 +72,15 @@ def run_round(
     broadcast_dims: bool = True,
     stored_phashes: DataFrame | None = None,
 ) -> RoundResult:
-    from pyspark.sql import Observation
-
     candidates = collapse_candidates(frontier)
     # persist + ONE materializing action per round: the n_discovered count
     # at the end of this function computes the whole scheduled→admitted→
-    # fetched→discovered chain, warming every cache; the intermediate
-    # counts ride along as Observations (CollectMetrics below the cache —
-    # zero extra jobs; they were ~2 s/round of pure job overhead)
+    # fetched→discovered chain, warming every cache. Intermediate counts
+    # are NOT measured here (no Observations — CollectMetrics on a shared
+    # cached subtree double-counts when a multi-JVM session races cache
+    # population, see RoundResult): the driver derives them from the
+    # committed table writes' sidecar row counts — exact and job-free.
     persisted: list = []
-    obs_sched = Observation()
     scheduled = (
         # frontier_rows (parquet-footer metadata, no job) upper-bounds the
         # candidate count, letting the ranker skip the two-phase path on
@@ -86,30 +95,24 @@ def run_round(
             size_hint=frontier_rows,
             broadcast_dims=broadcast_dims,
         )
-        .observe(obs_sched, F.count(F.lit(1)).alias("n"))
         .persist()
     )
 
     # claim (frozen step 3; reference DeleteMany $in, mongojobsstorage.go:165-180)
     frontier_remainder = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
 
-    obs_adm = Observation()
-    admitted = (
-        admit(
-            scheduled,
-            robots,
-            seen,
-            blacklist_patterns,
-            bloom_probe,
-            broadcast_dims,
-            # the maybe/dup key sets are bounded by the scheduled batch =
-            # round_limit rows; broadcast them only while that bound is
-            # provably broadcast-sized (VERDICT r3 wrong #3)
-            broadcast_probe_keys=cfg.round_limit <= cfg.broadcast_dim_max_rows,
-        )
-        .observe(obs_adm, F.count(F.lit(1)).alias("n"))
-        .persist()
-    )
+    admitted = admit(
+        scheduled,
+        robots,
+        seen,
+        blacklist_patterns,
+        bloom_probe,
+        broadcast_dims,
+        # the maybe/dup key sets are bounded by the scheduled batch =
+        # round_limit rows; broadcast them only while that bound is
+        # provably broadcast-sized (VERDICT r3 wrong #3)
+        broadcast_probe_keys=cfg.round_limit <= cfg.broadcast_dim_max_rows,
+    ).persist()
 
     # mark seen on attempt (frozen step 5) — ONION urls only: clearnet
     # traversal rows never touch the shared visited store (the seed
@@ -131,15 +134,7 @@ def run_round(
         "url",
         "left",
     )
-    obs_pages = Observation()
-    fetched = (
-        fetch.where(F.col("_status") == 200)
-        .observe(
-            obs_pages,
-            F.sum(onion_url_col(F.col("url")).cast("long")).alias("n_onion"),
-        )
-        .persist()
-    )
+    fetched = fetch.where(F.col("_status") == 200).persist()
 
     # pages: payload join only for fetched ONION rows (frozen step 7: the
     # seed collector saves no pages, spider/spider.go:344-360 — clearnet
@@ -194,16 +189,16 @@ def run_round(
             )
         pages = pages.join(drops.distinct(), "url", "left_anti")
     if cfg.max_body_bytes is not None or cfg.phash_dedup_dist is not None:
-        # F9 / phash dedup active: count the STORED pages, not the fetched
-        # rows — the metrics/CrawlSummary must not overstate when a filter
-        # drops rows
+        # F9 / phash dedup active: persist + count so the payload join and
+        # the banded dedup self-join run ONCE (the count materializes the
+        # cache before the pages table write re-reads it); the count also
+        # equals the stored-pages row count, so it serves as n_pages
         pages = pages.persist()
         persisted.append(pages)
         n_pages_override = pages.count()
     else:
-        # no body cap: every fetched-200 onion row has exactly one payload
-        # row (status 200 ⇔ payload present, by corpus construction), so
-        # the obs_pages observation IS the pages count — no extra job
+        # no filter: the driver reads n_pages off the pages append's
+        # commit-sidecar row count — exact and job-free
         n_pages_override = None
 
     # expand (frozen step 8): explode → canonicalize (Arrow UDF) → child
@@ -254,24 +249,6 @@ def run_round(
     # every Observation above is complete when read below
     n_discovered = new_frontier_rows.count()
 
-    def _obs(observation, key, fallback):
-        # when a round's chain goes empty at runtime, AQE's empty-relation
-        # propagation can skip executing a cached subtree entirely — its
-        # CollectMetrics never fires and Observation.get throws. The
-        # fallback counts the persisted DataFrame directly (cheap: either
-        # cached or a near-empty plan in exactly this case).
-        try:
-            return observation.get[key]
-        except Exception:
-            return fallback()
-
-    n_scheduled = int(_obs(obs_sched, "n", scheduled.count))
-    n_admitted = int(_obs(obs_adm, "n", admitted.count))
-    raw_onion = _obs(
-        obs_pages, "n_onion", fetched.where(onion_url_col(F.col("url"))).count
-    )
-    n_pages = int(n_pages_override if n_pages_override is not None else (raw_onion or 0))
-
     frontier_next = frontier_remainder.select(*[f.name for f in frontier.schema.fields]).unionByName(
         new_frontier_rows.select(*[f.name for f in frontier.schema.fields])
     )
@@ -295,8 +272,6 @@ def run_round(
         host_state_next=host_state_next,
         discovered_rows=new_frontier_rows.select(*[f.name for f in frontier.schema.fields]),
         host_delta=touched,
-        n_scheduled=n_scheduled,
-        n_admitted=n_admitted,
-        n_pages=n_pages,
+        n_pages=n_pages_override,
         n_discovered=n_discovered,
     )

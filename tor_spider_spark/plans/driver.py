@@ -310,15 +310,6 @@ class CrawlDriver:
                 F.lit("n_scheduled_partition").alias("metric"),
                 "value",
             )
-            globals_df = spark.createDataFrame(
-                [
-                    (rnd, -1, "n_scheduled", res.n_scheduled),
-                    (rnd, -1, "n_admitted", res.n_admitted),
-                    (rnd, -1, "n_pages", res.n_pages),
-                    (rnd, -1, "n_discovered", res.n_discovered),
-                ],
-                schemas.METRICS,
-            )
 
             # the 6 table writes are independent of each other: run them as
             # concurrent Spark jobs (threads share the SparkContext; the
@@ -334,9 +325,6 @@ class CrawlDriver:
                 "pages": lambda: t["pages"].append(res.pages, cfg.n_buckets, parent=pinned["pages"]),
                 "schedule": lambda: t["schedule"].append(
                     scheduled_projection(res.scheduled), parent=pinned["schedule"]
-                ),
-                "metrics": lambda: t["metrics"].append(
-                    metrics.unionByName(globals_df), parent=pinned["metrics"]
                 ),
             }
             if cfg.delta_claim:
@@ -400,12 +388,53 @@ class CrawlDriver:
                 blooms_next = self.bloom.update(blooms, res.new_seen, rnd)
                 jobs["bloom_shards"] = lambda: t["bloom_shards"].overwrite(blooms_next)
             t_wr0 = time.time()
-            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
                 futures = {name: pool.submit(fn) for name, fn in jobs.items()}
+                # n_admitted isn't persisted anywhere (new_seen drops the
+                # already-seen and clearnet rows), so it is the one counter
+                # that still needs a job — a count on the round-cached
+                # admitted DF, overlapped with the table writes
+                adm_future = pool.submit(res.admitted.count)
                 versions = {name: fut.result() for name, fut in futures.items()}
+                n_admitted = int(adm_future.result())
             t_wr1 = time.time()
             if not self.bloom:
                 versions["bloom_shards"] = t["bloom_shards"].latest_version()
+
+            # exact counters from what was COMMITTED: each append's
+            # row-count delta comes from the commit-sidecar/footer metadata
+            # (driver JSON reads, no Spark job). Observation counters were
+            # abandoned here — under a multi-JVM master the observed cached
+            # subtree can execute twice inside one action and CollectMetrics
+            # double-counts (see RoundResult) — and these deltas are what
+            # the engine actually wrote, the only number worth reporting.
+            def _append_delta(name: str) -> int | None:
+                new = t[name].row_count(versions[name])
+                old = t[name].row_count(pinned[name])
+                return None if new is None or old is None else new - old
+
+            d = _append_delta("schedule")
+            n_scheduled = int(d) if d is not None else res.scheduled.count()
+            if res.n_pages is not None:
+                n_pages = res.n_pages  # filtered path counted stored pages
+            else:
+                d = _append_delta("pages")
+                n_pages = int(d) if d is not None else res.pages.count()
+            d = _append_delta("seen")
+            new_seen_rows = int(d) if d is not None else n_admitted
+
+            globals_df = spark.createDataFrame(
+                [
+                    (rnd, -1, "n_scheduled", n_scheduled),
+                    (rnd, -1, "n_admitted", n_admitted),
+                    (rnd, -1, "n_pages", n_pages),
+                    (rnd, -1, "n_discovered", res.n_discovered),
+                ],
+                schemas.METRICS,
+            )
+            versions["metrics"] = t["metrics"].append(
+                metrics.unionByName(globals_df), parent=pinned["metrics"]
+            )
             # record the consumed inbox version (the round's seed injections
             # are reproducible from it on resume)
             versions["seed_inbox"] = inbox_v
@@ -420,7 +449,10 @@ class CrawlDriver:
                 if cfg.delta_claim:
                     versions["frontier"] = t["frontier"].compact(spark, cfg.n_buckets)
                     versions["host_state"] = t["host_state"].compact(spark, cfg.n_buckets)
-            seen_count += res.n_admitted  # upper estimate; threshold only
+            # exact growth of the seen table this round (the bloom gate
+            # compares it against bloom_min_seen; was an n_admitted upper
+            # estimate before the sidecar deltas made exact free)
+            seen_count += new_seen_rows
             # the checkpoint write IS the round's atomic commit point
             self.log.commit(rnd, versions, extra={"seen_count": seen_count})
             pinned = dict(versions)
@@ -474,21 +506,21 @@ class CrawlDriver:
             _log.info(
                 "round=%d scheduled=%d admitted=%d pages=%d discovered=%d",
                 rnd,
-                res.n_scheduled,
-                res.n_admitted,
-                res.n_pages,
+                n_scheduled,
+                n_admitted,
+                n_pages,
                 res.n_discovered,
             )
             summary.rounds_run += 1
-            summary.n_scheduled += res.n_scheduled
-            summary.n_admitted += res.n_admitted
-            summary.n_pages += res.n_pages
+            summary.n_scheduled += n_scheduled
+            summary.n_admitted += n_admitted
+            summary.n_pages += n_pages
             summary.round_stats.append(
                 {
                     "round": rnd,
-                    "scheduled": res.n_scheduled,
-                    "admitted": res.n_admitted,
-                    "pages": res.n_pages,
+                    "scheduled": n_scheduled,
+                    "admitted": n_admitted,
+                    "pages": n_pages,
                     "discovered": res.n_discovered,
                 }
             )

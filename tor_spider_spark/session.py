@@ -18,8 +18,20 @@ def get_spark(
     app_name: str = "tor-spider-spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-    if shuffle_partitions is None:
+    # Under spark-submit the JVM gateway already holds --master /
+    # --py-files / --conf (PythonRunner marks itself via
+    # PYSPARK_GATEWAY_PORT); forcing builder.master() here would silently
+    # override the submitted cluster with local[32] — the "on a cluster
+    # only --master changes" contract (scripts/run_crawl.py) depends on
+    # honoring the submit conf when no caller/env pins a master.
+    submitted = (
+        master is None
+        and "SPARK_MASTER" not in os.environ
+        and "PYSPARK_GATEWAY_PORT" in os.environ
+    )
+    if not submitted:
+        master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if shuffle_partitions is None and not submitted:
         # 3x cores: stragglers from skewed keys (hub hosts) smooth out and
         # AQE coalesces the excess back — same rule on a real cluster
         spec = master.split("[")[-1].rstrip("]") if "[" in master else "32"
@@ -32,9 +44,7 @@ def get_spark(
             cores = 32 if spec == "*" else int(spec)
         shuffle_partitions = max(8, 3 * cores)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -50,6 +60,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if not submitted:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # S12 profiling analog (reference pprof hook, main.go:43-48)
     eventlog_dir = os.environ.get("SPARK_EVENTLOG_DIR")
     if eventlog_dir:
@@ -57,14 +71,19 @@ def get_spark(
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", eventlog_dir
         )
-    if master.startswith("local-cluster"):
+    if not submitted and master.startswith("local-cluster"):
         builder = builder.config(
             "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "6g")
         )
     spark = builder.getOrCreate()
-    if master.startswith("local-cluster"):
+    if submitted and shuffle_partitions is None:
+        # size from the cluster the submit conf gave us (runtime-settable)
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, 3 * cores)))
+    if not submitted and master.startswith("local-cluster"):
         # executor JVMs spawn their own Python workers: ship the package
-        # the same way a real cluster submit does (--py-files)
+        # the same way a real cluster submit does (--py-files); under a
+        # real spark-submit the --py-files flag already did
         spark.sparkContext.addPyFile(_package_zip())
     return spark
 
