@@ -3,12 +3,18 @@
 — two separate executor JVMs whose Python workers can only import the
 package from the shipped zip), running scripts/run_crawl.py end-to-end
 on a tiny fixture, then the run dir's schedule/seen compared against the
-pure-Python simulator.
+pure-Python simulator. A SECOND submit resumes the same run dir from its
+checkpoint and must continue exactly where the first left off — the
+operational restart story (new driver process, new executor JVMs, state
+only in the tables) in the exact shape a cluster restart takes.
 
 This also pins the get_spark() submit contract: a session created under
 spark-submit must HONOR the submitted --master (it used to rebuild with
 the env/default master, silently turning a cluster submit into
-local[32]) — the summary's "master" field is asserted verbatim.
+local[32]) — the summary's "master" field is asserted verbatim. It was
+this test that exposed the Observation double-count (summary counters
+inflating under multi-JVM cache races while the stored tables stayed
+correct), hence the summary-vs-simulator count assertions.
 """
 
 from __future__ import annotations
@@ -48,37 +54,55 @@ def test_spark_submit_py_files_multi_executor(spark, tmp_path):
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env.pop("SPARK_MASTER", None)  # the submitted --master must win
-    out = subprocess.run(
-        [
-            submit,
-            "--master", MASTER,
-            "--conf", "spark.executor.memory=1g",
-            "--conf", "spark.ui.enabled=false",
-            "--py-files", _package_zip(),
-            os.path.join(REPO, "scripts", "run_crawl.py"),
-            "--fixture-dir", fixdir,
-            "--run-dir", rundir,
-            "--rounds", str(ROUNDS),
-        ],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=env,
-        timeout=900,
-    )
-    summaries = [
-        json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
-    ]
-    assert summaries, f"no summary line:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
-    summary = summaries[-1]
+
+    def run_submit(rounds: int) -> dict:
+        out = subprocess.run(
+            [
+                submit,
+                "--master", MASTER,
+                "--conf", "spark.executor.memory=1g",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", _package_zip(),
+                os.path.join(REPO, "scripts", "run_crawl.py"),
+                "--fixture-dir", fixdir,
+                "--run-dir", rundir,
+                "--rounds", str(rounds),
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=900,
+        )
+        summaries = [
+            json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
+        ]
+        assert summaries, f"no summary line:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+        return summaries[-1]
+
+    summary = run_submit(ROUNDS)
     assert summary["master"] == MASTER, summary
     assert summary["rounds_run"] == ROUNDS
 
-    # the submitted run's tables vs the golden simulator, read back via
-    # the test session (same on-disk layout, checkpoint-pinned versions)
-    cfg = CrawlConfig(max_rounds=ROUNDS)
+    cfg = CrawlConfig(max_rounds=ROUNDS + 2)
     sim = simulate(fx, cfg)
-    assert summary["scheduled"] == sum(len(r) for r in sim.schedule)
+
+    # the submitted run's summary counters vs the simulator: these come
+    # off the committed appends' sidecar row counts, and THIS assertion is
+    # what caught the Observation double-count under multi-JVM masters
+    golden_first = sum(len(r) for r in sim.schedule[:ROUNDS])
+    assert summary["scheduled"] == golden_first, summary
+
+    # second submit: fresh driver + fresh executor JVMs resume the run dir
+    # from its checkpoint and crawl two more rounds
+    summary2 = run_submit(ROUNDS + 2)
+    assert summary2["rounds_run"] == 2, summary2
+    assert summary2["scheduled"] == sum(
+        len(r) for r in sim.schedule[ROUNDS:]
+    ), summary2
+
+    # the resumed run's tables vs the golden simulator, read back via
+    # the test session (same on-disk layout, checkpoint-pinned versions)
     reader = CrawlDriver(
         spark, rundir,
         spark.read.parquet(os.path.join(fixdir, "corpus")),

@@ -89,12 +89,26 @@ def get_spark(
 
 
 def _package_zip() -> str:
-    """Zip tor_spider_spark for --py-files-style shipping (cached)."""
+    """Zip tor_spider_spark for --py-files-style shipping. Cached, but
+    rebuilt whenever any package source file is newer than the zip — a
+    stale zip would silently ship OLD executor-side code to the worker
+    JVMs' Python workers (multi-executor tests would then exercise a
+    phantom version of probe/UDF code while driver-side code is current)."""
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join("/tmp", "tor_spider_spark_pyfiles.zip")
-    if not os.path.exists(out):
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg_dir)
+        if "__pycache__" not in root
+        for f in files
+        if f.endswith(".py")
+    ]
+    stale = not os.path.exists(out) or any(
+        os.path.getmtime(s) >= os.path.getmtime(out) for s in sources
+    )
+    if stale:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
