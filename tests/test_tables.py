@@ -329,6 +329,26 @@ def test_delta_advisory_hint_violation_falls_back(spark, tmp_path):
     assert not any(e in v1_files for e in t._read_manifest(v2))  # full rewrite
 
 
+def test_delta_hint_violation_with_collapsed_prune_values(spark, tmp_path):
+    """The r4 residual: a lying hint whose oversized key set collapses
+    onto FEW distinct prune values used to slip past the distinct-value
+    guard and force-broadcast the whole key set. The grouped collect's
+    counts sum to the exact key-row count, so this shape now falls back
+    to the full rewrite too."""
+    t = SnapshotTable(str(tmp_path), "f", SEEN, sort_col="url_hash")
+    t.DELTA_KEYS_MAX_ROWS = 10  # instance override for the test
+    v1 = t.overwrite(spark.createDataFrame([(i, i % 3, 0) for i in range(200)], SEEN))
+    # 50 key ROWS over only 3 distinct host_hash prune values (≤ MAX=10)
+    keys = spark.createDataFrame([(i, i % 3) for i in range(0, 50)],
+                                 "url_hash long, host_hash long")
+    v2 = t.claim_merge(spark, keys, spark.createDataFrame([], SEEN),
+                       prune_col="host_hash", parent=v1, keys_rows_hint=5)
+    got = sorted(r[0] for r in t.read(spark, v2).select("url_hash").collect())
+    assert got == list(range(50, 200))
+    v1_files = {f for e in t._read_manifest(v1) for f in t._entry_files(e)}
+    assert not any(e in v1_files for e in t._read_manifest(v2))  # full rewrite
+
+
 def test_upsert_duplicate_source_keys_collapse(spark, tmp_path):
     """ADVICE r4 #2: duplicate source keys collapse to one row — the
     shared semantics with Iceberg MERGE INTO (which would abort) after

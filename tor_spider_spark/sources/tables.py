@@ -430,20 +430,27 @@ class SnapshotTable:
                 return full_rewrite()
             # the hint is ADVISORY (ADVICE r4 #1): a caller under-reporting
             # the key count must not turn this collect into an unbounded
-            # one, so it is limit-bounded; overflow proves the hint was
-            # violated (distinct prune values ≤ key rows) → full rewrite.
-            # Residual: a violated hint whose keys collapse onto ≤ MAX
-            # distinct prune values still broadcasts the oversized key set
-            # below — callers own the hint ≥ |keys| contract.
-            raw = [
-                r[0]
-                for r in keys.select(prune_col)
-                .distinct()
+            # one, so it is limit-bounded. The collect is GROUPED, not
+            # distinct, for the same single-job price (hash aggregate
+            # either way): the group counts sum to the EXACT key-row
+            # count, so a violated hint is caught even when the keys
+            # collapse onto few prune values (the r4 residual — a lying
+            # hint can no longer force a broadcast of an oversized key
+            # set through a small prune-value set). Either overflow —
+            # too many groups, or counts summing past MAX — proves the
+            # violation and takes the full rewrite.
+            grouped = (
+                keys.groupBy(prune_col)
+                .agg(F.count(F.lit(1)).alias("n"))
                 .limit(self.DELTA_KEYS_MAX_ROWS + 1)
                 .collect()
-            ]
-            if len(raw) > self.DELTA_KEYS_MAX_ROWS:
+            )
+            if (
+                len(grouped) > self.DELTA_KEYS_MAX_ROWS
+                or sum(r["n"] for r in grouped) > self.DELTA_KEYS_MAX_ROWS
+            ):
                 return full_rewrite()
+            raw = [r[0] for r in grouped]
             vals = sorted(v for v in raw if v is not None)
             if any(v is None for v in raw) and (
                 len(join_cols) != 1 or join_cols[0] != prune_col
