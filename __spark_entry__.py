@@ -461,6 +461,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("vec_id"), "cluster"
         )
 
+    def decontaminate_bench(spark, sf):
+        # benchmark decontamination (operators/dedup.decontaminate): the
+        # "benchmark" split is derived deterministically from the corpus
+        # (doc_id % 97 == 0 plays the eval suite), the rest is the corpus
+        # to flag — no external data, exact DuckDB replay below
+        from tor_spider_spark.operators.dedup import decontaminate
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = d.where(F.col("doc_id") % 97 == 0)
+        corpus = d.where(F.col("doc_id") % 97 != 0)
+        return decontaminate(corpus, bench, threshold=0.2)
+
     def ann_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -654,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_clusters": dedup_phash_clusters,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_clusters": dedup_embedding_clusters,
+        "decontaminate_bench": decontaminate_bench,
         "bpe_token_count": bpe_token_count,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
@@ -916,6 +929,29 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1""",
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
+        "decontaminate_bench": """
+with bench as (select doc_id, text from documents where doc_id % 97 = 0),
+corpus as (select doc_id, text from documents where doc_id % 97 <> 0),
+btoks as (select regexp_split_to_array(text,'\\s+') l from bench),
+bsh as (select distinct unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                              for i in generate_series(1, len(l)-2)])) as sh
+        from btoks where len(l) >= 3),
+ctoks as (select doc_id, regexp_split_to_array(text,'\\s+') l from corpus),
+csh as (select doc_id,
+               unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                     for i in generate_series(1, len(l)-2)])) as sh
+        from ctoks where len(l) >= 3),
+cnt as (select doc_id, count(*) n from csh group by 1),
+hits as (select doc_id, count(*) h from csh join bsh using (sh) group by 1)
+select c.doc_id,
+       coalesce(n, 0) as doc_shingles,
+       coalesce(h, 0) as overlap_shingles,
+       round(coalesce(h*1.0/n, 0), 6) as overlap_frac,
+       (round(coalesce(h*1.0/n, 0), 6) >= 0.2)::int as contaminated
+from corpus c
+left join cnt using (doc_id)
+left join hits using (doc_id)
+""",
         "dedup_simhash": _simhash_sql(),
         "dedup_phash_hamming": f"""
             select a.image_id as i, b.image_id as j,

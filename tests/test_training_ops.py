@@ -313,3 +313,41 @@ def test_hamming_band_widths_tile_64_bits(spark):
         if k:  # one bit beyond the threshold → excluded
             miss = hamming_near_dup_pairs(df, "id", "sig", k - 1).collect()
             assert miss == []
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Decontamination semantics on hand-built docs: a verbatim copy of a
+    benchmark prompt is fully contaminated, a partial-overlap doc gets a
+    fractional score, unrelated and too-short docs come out clean (and
+    short docs still appear, with zero shingles)."""
+    from tor_spider_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and when was it founded")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "what is the capital of france and when was it founded"),  # verbatim
+            (1, "essay intro: what is the capital of france is a common question"
+                " students ask about geography topics in school"),  # partial
+            (2, "completely unrelated text about spark shuffles and joins"),
+            (3, "too short"),  # < 3 tokens → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, 0.2).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["overlap_frac"] == 1.0 and rows[0]["contaminated"] == 1
+    assert 0 < rows[1]["overlap_frac"] < 1.0
+    assert rows[1]["contaminated"] == int(rows[1]["overlap_frac"] >= 0.2)
+    assert rows[2]["overlap_shingles"] == 0 and rows[2]["contaminated"] == 0
+    assert rows[3]["doc_shingles"] == 0 and rows[3]["overlap_frac"] == 0.0
+    # shuffle-join fallback (broadcast off) is the same answer
+    rows2 = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, 0.2, broadcast_bench=False).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }

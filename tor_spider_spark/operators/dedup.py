@@ -263,6 +263,55 @@ def minhash_lsh_dedup_clusters(docs: DataFrame, threshold: float) -> DataFrame:
     return connected_components(minhash_lsh_dedup_pairs(docs, threshold))
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.2,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data step that flags
+    corpus documents overlapping an evaluation suite so they can be
+    dropped before training (the n-gram–overlap rule used by published
+    LLM data pipelines; word-trigram shingles here, same unit as the
+    dedup family, so one shingle definition serves both).
+
+    Output: (doc_id, doc_shingles, overlap_shingles, overlap_frac,
+    contaminated) for EVERY doc in *docs* — docs too short to shingle
+    get (0, 0, 0.0, 0). *contaminated* compares the ROUNDED fraction to
+    *threshold* (int 0/1) so engine and oracle agree at the boundary.
+
+    Scale shape: benchmark suites are small by definition (thousands of
+    prompts vs a 100 TB corpus), so the bench shingle set is DISTINCT'd
+    and broadcast — the corpus-side scan + map-side broadcast join never
+    shuffles doc text; the only corpus-sized exchanges are the two
+    groupBy(doc_id) partial-agg counts. Set *broadcast_bench*=False for
+    an abnormally large suite (falls back to a shuffle equi-join on the
+    shingle string — same plan family as ngram_jaccard_pairs)."""
+    bench_sh = word_trigram_shingles(bench).select("sh").distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = word_trigram_shingles(docs)
+    cnt = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = doc_sh.join(bench_sh, "sh").groupBy("doc_id").agg(
+        F.count("*").alias("h")
+    )
+    frac = F.round(
+        F.coalesce(F.col("h") / F.col("n"), F.lit(0.0)), 6
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0).cast("long")).alias("doc_shingles"),
+            F.coalesce("h", F.lit(0).cast("long")).alias("overlap_shingles"),
+            frac.alias("overlap_frac"),
+            (frac >= threshold).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def simhash_signatures(docs: DataFrame, token_hash=None) -> DataFrame:
     """64-bit SimHash from whitespace tokens — fully native bit arithmetic:
     per bit j, sum(±1) over token hashes; bit set iff sum > 0.
