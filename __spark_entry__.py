@@ -473,6 +473,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = d.where(F.col("doc_id") % 97 != 0)
         return decontaminate(corpus, bench, threshold=0.2)
 
+    def split_assign_holdout(spark, sf):
+        # deterministic train/val/test holdout (operators/sampling.py):
+        # weights are exact binary fractions so the cumulative thresholds
+        # are bit-identical literals on both engines
+        from tor_spider_spark.operators.sampling import split_assign
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        return split_assign(
+            d, "doc_id", {"train": 0.875, "val": 0.0625, "test": 0.0625}
+        ).select("doc_id", "split")
+
+    def sample_frac_125(spark, sf):
+        from tor_spider_spark.operators.sampling import sample_frac
+
+        return sample_frac(
+            _t(spark, sf, "documents").select("doc_id"), "doc_id", 0.125
+        )
+
+    def stratified_cap_lang(spark, sf):
+        # quota sampling: at most 50 docs per language, picked in
+        # deterministic hash order (the "max N per domain" mixing rule)
+        from tor_spider_spark.operators.sampling import stratified_cap
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang")
+        return stratified_cap(d, ["lang"], "doc_id", 50)
+
     def ann_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -667,6 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_clusters": dedup_embedding_clusters,
         "decontaminate_bench": decontaminate_bench,
+        "split_assign_holdout": split_assign_holdout,
+        "sample_frac_125": sample_frac_125,
+        "stratified_cap_lang": stratified_cap_lang,
         "bpe_token_count": bpe_token_count,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
@@ -886,6 +915,29 @@ def oracle_sql() -> dict[str, str]:
         "hash64_md5": """
             select doc_id, ('0x' || substr(md5(text), 1, 15))::bigint as h
             from documents""",
+        "split_assign_holdout": """
+            with u as (select doc_id,
+                   ('0x' || substr(md5(doc_id::varchar || ':split'), 1, 15))::bigint
+                   / 1152921504606846976.0 as u
+                   from documents)
+            select doc_id,
+                   case when u < 0.875 then 'train'
+                        when u < 0.9375 then 'val'
+                        else 'test' end as split
+            from u""",
+        "sample_frac_125": """
+            select doc_id from documents
+            where ('0x' || substr(md5(doc_id::varchar || ':sample'), 1, 15))::bigint
+                  / 1152921504606846976.0 < 0.125""",
+        "stratified_cap_lang": """
+            with u as (select doc_id, lang,
+                   ('0x' || substr(md5(doc_id::varchar || ':cap'), 1, 15))::bigint
+                   / 1152921504606846976.0 as u
+                   from documents),
+            rk as (select doc_id, lang,
+                   row_number() over (partition by lang order by u, doc_id) as rk
+                   from u)
+            select doc_id, lang from rk where rk <= 50""",
         "request_headers": _REQUEST_HEADERS_SQL,
         "extract_links": """
             with h as (select doc_id,

@@ -351,3 +351,49 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in rows2.items()
     }
+
+
+def test_sampling_is_deterministic_and_partition_invariant(spark):
+    """The whole point of hash-keyed sampling vs df.sample(): the picked
+    set is a pure function of (key, salt) — identical across runs AND
+    across partitionings (per-partition RNG sampling is neither)."""
+    from tor_spider_spark.operators.sampling import sample_frac, split_assign
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in sample_frac(d, "doc_id", 0.25).collect()}
+    b = {r["doc_id"] for r in sample_frac(d.repartition(17), "doc_id", 0.25).collect()}
+    assert a == b and 0 < len(a) < 2000
+    # nested fractions are monotone subsets for a fixed salt
+    small = {r["doc_id"] for r in sample_frac(d, "doc_id", 0.1).collect()}
+    assert small < a
+    # independent salts decorrelate: the 25% cut under another salt is
+    # not the same set (overlap ≈ 25% of it, certainly not all)
+    other = {r["doc_id"] for r in sample_frac(d, "doc_id", 0.25, salt="other").collect()}
+    assert other != a
+    # split covers every row exactly once with roughly the right shares
+    splits = split_assign(
+        d, "doc_id", {"train": 0.875, "val": 0.0625, "test": 0.0625}
+    ).groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in splits}
+    assert sum(got.values()) == 2000 and set(got) == {"train", "val", "test"}
+    assert got["train"] > 1500  # ~1750 expected; loose bound, deterministic
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(d, "doc_id", {"train": 0.9, "val": 0.2})
+
+
+def test_stratified_cap_bounds_each_group(spark):
+    from tor_spider_spark.operators.sampling import stratified_cap
+
+    d = spark.range(0, 900).selectExpr("id as doc_id", "id % 3 as grp")
+    capped = stratified_cap(d, ["grp"], "doc_id", 40)
+    per = {r["grp"]: r["count"] for r in capped.groupBy("grp").count().collect()}
+    assert per == {0: 40, 1: 40, 2: 40}
+    # deterministic: same pick under a different partitioning
+    again = stratified_cap(d.repartition(13), ["grp"], "doc_id", 40)
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in again.collect()}
+    # a group smaller than the cap passes through whole
+    small = stratified_cap(d.where("doc_id < 5"), ["grp"], "doc_id", 40)
+    assert small.count() == 5
