@@ -62,6 +62,9 @@ def main() -> None:
                 # proves which cluster actually ran the job (a submitted
                 # --master must never be silently overridden by get_spark)
                 "master": spark.sparkContext.master,
+                # proves a submitted --conf spark.sql.shuffle.partitions
+                # wins over get_spark's cluster-derived default
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "round_stats": summary.round_stats,
             }
         )

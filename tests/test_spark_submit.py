@@ -55,13 +55,14 @@ def test_spark_submit_py_files_multi_executor(spark, tmp_path):
     env["PYSPARK_PYTHON"] = sys.executable
     env.pop("SPARK_MASTER", None)  # the submitted --master must win
 
-    def run_submit(rounds: int) -> dict:
+    def run_submit(rounds: int, extra_conf: list[str] = ()) -> dict:
         out = subprocess.run(
             [
                 submit,
                 "--master", MASTER,
                 "--conf", "spark.executor.memory=1g",
                 "--conf", "spark.ui.enabled=false",
+                *extra_conf,
                 "--py-files", _package_zip(),
                 os.path.join(REPO, "scripts", "run_crawl.py"),
                 "--fixture-dir", fixdir,
@@ -83,6 +84,12 @@ def test_spark_submit_py_files_multi_executor(spark, tmp_path):
     summary = run_submit(ROUNDS)
     assert summary["master"] == MASTER, summary
     assert summary["rounds_run"] == ROUNDS
+    # no submitted shuffle conf → get_spark derives from the cluster
+    # (max(8, 3*defaultParallelism); the exact value races executor
+    # registration, so assert the derivation ran, not its input): the
+    # session must NOT sit on Spark's static default of 200
+    assert int(summary["shuffle_partitions"]) >= 8, summary
+    assert summary["shuffle_partitions"] != "200", summary
 
     cfg = CrawlConfig(max_rounds=ROUNDS + 2)
     sim = simulate(fx, cfg)
@@ -94,8 +101,13 @@ def test_spark_submit_py_files_multi_executor(spark, tmp_path):
     assert summary["scheduled"] == golden_first, summary
 
     # second submit: fresh driver + fresh executor JVMs resume the run dir
-    # from its checkpoint and crawl two more rounds
-    summary2 = run_submit(ROUNDS + 2)
+    # from its checkpoint and crawl two more rounds; an EXPLICIT submitted
+    # shuffle conf must win over get_spark's cluster-derived default (the
+    # honor-the-submit-conf contract, same as --master)
+    summary2 = run_submit(
+        ROUNDS + 2, extra_conf=["--conf", "spark.sql.shuffle.partitions=7"]
+    )
+    assert summary2["shuffle_partitions"] == "7", summary2
     assert summary2["rounds_run"] == 2, summary2
     assert summary2["scheduled"] == sum(
         len(r) for r in sim.schedule[ROUNDS:]

@@ -504,3 +504,27 @@ def test_torn_stats_sidecar_never_deletes_data(spark, tmp_path, monkeypatch):
 
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in t._entry_files(entry))
         assert rows > 0, f"empty commit {entry} in manifest"
+
+
+def test_stats_cache_bounded_and_evicted_on_vacuum(spark, tmp_path, monkeypatch):
+    """r5 review: the driver-side sidecar cache must not grow O(commit
+    dirs) for the table object's lifetime (that re-imports the O(files)
+    driver cost the sidecars removed, as RAM), and vacuum must drop the
+    entries of the commit dirs it deletes."""
+    t = SnapshotTable(str(tmp_path), "seen", SEEN)
+    monkeypatch.setattr(SnapshotTable, "STATS_CACHE_MAX_DIRS", 3)
+    for i in range(6):
+        t.append(_rows(spark, i * 10, i * 10 + 10))
+    entries = t._read_manifest(t.latest_version())
+    for e in entries:
+        t._load_stats(e)
+    assert len(t._stats_cache) <= 3  # FIFO-bounded, never above the cap
+    # evicted dirs re-load correctly from their sidecar on next use
+    assert t._load_stats(entries[0])  # per-file records, non-empty
+
+    t.overwrite(_rows(spark, 0, 5))
+    removed = t.vacuum(keep_versions=1)
+    assert removed
+    for dead in removed:
+        key = dead if os.path.isdir(dead) or not dead.endswith(".parquet") else os.path.dirname(dead)
+        assert key not in t._stats_cache  # no stale entry for a dead dir

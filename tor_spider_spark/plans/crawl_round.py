@@ -179,6 +179,12 @@ def run_round(
         )
 
         k = cfg.phash_dedup_dist
+        # persist the PRE-dedup pages: the payload-join subtree feeds the
+        # banded self-join (via slim), the stored-phash semi probe AND the
+        # anti-join's left side — uncached, the count job below would
+        # re-execute the fetch join + its shuffles 2-3× within itself
+        pages = pages.persist()
+        persisted.append(pages)
         slim = pages.select("url", "phash")
         drops = hamming_near_dup_pairs(slim, "url", "phash", k).select(
             F.col("j").alias("url")
@@ -187,7 +193,10 @@ def run_round(
             drops = drops.unionByName(
                 hamming_semi_keys(slim, "url", "phash", stored_phashes, "phash", k)
             )
-        pages = pages.join(drops.distinct(), "url", "left_anti")
+        # no distinct on drops: left_anti ignores right-side duplicates,
+        # and the semi path already deduped — an extra hash-agg exchange
+        # here would be pure waste on every dedup-enabled round
+        pages = pages.join(drops, "url", "left_anti")
     if cfg.max_body_bytes is not None or cfg.phash_dedup_dist is not None:
         # F9 / phash dedup active: persist + count so the payload join and
         # the banded dedup self-join run ONCE (the count materializes the

@@ -78,8 +78,12 @@ def get_spark(
     spark = builder.getOrCreate()
     if submitted and shuffle_partitions is None:
         # size from the cluster the submit conf gave us (runtime-settable)
-        cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, 3 * cores)))
+        # — but ONLY when the submit conf didn't set it explicitly: an
+        # operator's --conf spark.sql.shuffle.partitions wins, same
+        # honor-the-submit-conf contract as --master above
+        if not spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions"):
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, 3 * cores)))
     if not submitted and master.startswith("local-cluster"):
         # executor JVMs spawn their own Python workers: ship the package
         # the same way a real cluster submit does (--py-files); under a

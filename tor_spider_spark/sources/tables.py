@@ -212,6 +212,13 @@ class SnapshotTable:
             json.dump({"files": files}, fh)
         os.replace(tmp, os.path.join(commit, self.STATS_NAME))
 
+    # bound on _stats_cache entries: commit dirs past this are re-read
+    # from their sidecar on next use (one JSON read — cheap) instead of
+    # pinned in driver RAM forever. At the 10^10 design point a
+    # keep-it-all cache would hold O(files) range dicts — the same
+    # O(files) driver cost the sidecars were built to remove, as memory.
+    STATS_CACHE_MAX_DIRS = 4096
+
     def _load_stats(self, commit_dir: str) -> dict | None:
         cached = self._stats_cache.get(commit_dir, False)
         if cached is not False:
@@ -224,6 +231,10 @@ class SnapshotTable:
                     stats = json.load(fh)["files"]
             except (OSError, ValueError, KeyError):
                 stats = None  # unreadable sidecar → footer fallback
+        while len(self._stats_cache) >= self.STATS_CACHE_MAX_DIRS:
+            # FIFO eviction (insertion-ordered dict): old commit dirs are
+            # the ones compaction/vacuum retire first anyway
+            self._stats_cache.pop(next(iter(self._stats_cache)))
         self._stats_cache[commit_dir] = stats
         return stats
 
@@ -730,11 +741,14 @@ class SnapshotTable:
                             if f not in live_files:
                                 os.remove(f)
                                 removed.append(f)
+                        self._stats_cache.pop(entry, None)
                     else:
                         shutil.rmtree(entry, ignore_errors=True)
+                        self._stats_cache.pop(entry, None)
                         removed.append(entry)
                 elif os.path.isfile(entry) and entry not in live_files:
                     os.remove(entry)
+                    self._stats_cache.pop(os.path.dirname(entry), None)
                     removed.append(entry)
             os.remove(self._manifest_path(v))
         return removed
