@@ -471,6 +471,9 @@ def main() -> None:
         n_seen = int(os.environ.get("SPARK_GRAFT_BLOOM_SEEN", "40000000"))
         result["bloom_scale"] = bench_bloom_scale(spark, n_seen=n_seen)
         result.update(metric="bloom-path urls/sec", value=result["bloom_scale"]["bloom_urls_per_sec"], unit="urls/sec", queries={}, total_sec=round(time.time() - t_all, 1))
+        result["value_per_mcalib"] = round(
+            result["value"] / (result["calibration"]["rows_per_sec"] / 1e6), 1
+        )
         print(json.dumps(result))
         spark.stop()
         return
