@@ -655,6 +655,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _materialize_and_clean(spark, t.read(spark, v2), root)
 
+    def host_pagerank(spark, sf):
+        """Crawl-priority PageRank (operators/graph.py) over a
+        deterministic ~100-node graph derived from orders: edge
+        (o_custkey mod 100) -> (o_orderkey mod 100).  Integer fixed-point
+        arithmetic makes the 3-iteration recurrence bit-exact against the
+        unrolled-CTE DuckDB replay at any parallelism."""
+        from tor_spider_spark.operators.graph import pagerank_fixed_point
+
+        edges = (
+            _t(spark, sf, "orders")
+            .select(
+                (F.col("o_custkey") % 100).alias("src"),
+                (F.col("o_orderkey") % 100).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return pagerank_fixed_point(edges, iterations=3)
+
     return {
         "crawl_pages_3rounds": crawl_pages_3rounds,
         "claim_merge_delta": claim_merge_delta,
@@ -707,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_fingerprint_md5": doc_fingerprint_md5,
+        "host_pagerank": host_pagerank,
     }
 
 
@@ -801,6 +821,50 @@ _LANG_ID_SQL = """
                 when s_en > 0 then 'en'
                 else 'unknown' end as lang_guess
     from s"""
+
+
+def _host_pagerank_sql(iterations: int = 3) -> str:
+    """DuckDB replay of operators/graph.pagerank_fixed_point: the
+    3-iteration integer recurrence unrolled as chained CTEs.  `//` is
+    DuckDB integral division; all values are non-negative so it agrees
+    with Spark's `div` bit for bit (see graph.py module docstring)."""
+    from tor_spider_spark.operators.graph import (
+        BASE_RANK,
+        DAMPING_DEN,
+        DAMPING_NUM,
+        INIT_RANK,
+    )
+
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(
+            f"""r{t} as (
+              select n.node,
+                     cast({BASE_RANK} + ({DAMPING_NUM} *
+                          coalesce(sum(r.rank // d.od), 0)) // {DAMPING_DEN}
+                          as bigint) as rank
+              from nodes n
+              left join edges e on e.dst = n.node
+              left join r{t - 1} r on r.node = e.src
+              left join outdeg d on d.src = e.src
+              group by n.node)"""
+        )
+    chain = ",\n            ".join(steps)
+    return f"""
+        with edges as (
+          select distinct o_custkey % 100 as src, o_orderkey % 100 as dst
+          from orders
+          where o_custkey % 100 <> o_orderkey % 100),
+        nodes as (select src as node from edges
+                  union
+                  select dst from edges),
+        outdeg as (select src, count(*) as od from edges group by 1),
+        r0 as (select node, {INIT_RANK}::bigint as rank from nodes),
+        {chain}
+        select node, rank from r{iterations}"""
+
+
+_HOST_PAGERANK_SQL = _host_pagerank_sql()
 
 
 _GOLDEN_CRAWL = os.path.join(
@@ -1152,4 +1216,5 @@ left join hits using (doc_id)
                    sum(len(regexp_split_to_array(text, '\\s+')))::bigint as total_tokens,
                    round(avg(len(regexp_split_to_array(text, '\\s+'))), 4) as avg_tokens
             from documents group by 1""",
+        "host_pagerank": _HOST_PAGERANK_SQL,
     }
