@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         punct_ratio_col,
         quality_ok_col,
         stopword_ratio_col,
+        top_bigram_stats,
+        type_token_ratio_col,
         winnow_fingerprints,
     )
     from tor_spider_spark.operators.dedup import (
@@ -542,6 +544,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def repetition_top_bigram(spark, sf):
+        # Gopher-style repetition signal: chars covered by the most
+        # frequent word 2-gram; one (doc_id, bigram) shuffle, no UDF
+        d = _t(spark, sf, "documents")
+        return top_bigram_stats(d.select("doc_id", "text"))
+
+    def type_token_ratio(spark, sf):
+        # lexical diversity (distinct/total tokens) — pure Catalyst
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.round(type_token_ratio_col(F.col("text")), 6).alias("type_token_ratio"),
+        )
+
+    def token_quantiles(spark, sf):
+        # exact per-language token-count quantiles (linear interpolation —
+        # Spark `percentile` ≡ DuckDB `quantile_cont`); the 100 TB path is
+        # `percentile_approx` (sketch-mergeable, no full sort) — this exact
+        # variant is its oracle-able twin, same pattern as approx_distinct/
+        # distinct_count
+        d = _t(spark, sf, "documents")
+        nt = d.select("lang", n_tokens_col(F.col("text")).alias("nt"))
+        return nt.groupBy("lang").agg(
+            F.round(F.percentile("nt", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("nt", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("nt", F.lit(0.99)), 6).alias("p99"),
+        )
+
     def bpe_token_count(spark, sf):
         # BPE-style pre-tokenization count (GPT-2 pattern family, rewritten
         # without lookahead so Java regex and DuckDB RE2 agree) — the
@@ -715,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_holdout": split_assign_holdout,
         "sample_frac_125": sample_frac_125,
         "stratified_cap_lang": stratified_cap_lang,
+        "repetition_top_bigram": repetition_top_bigram,
+        "type_token_ratio": type_token_ratio,
+        "token_quantiles": token_quantiles,
         "bpe_token_count": bpe_token_count,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh": ann_lsh,
@@ -1211,6 +1244,42 @@ left join hits using (doc_id)
                    / greatest(length(d.text), 1) <= 0.3)
               and (length(d.text) * 1.0
                    / greatest(len(regexp_split_to_array(d.text, '\\s+')), 1) <= 40)""",
+        "repetition_top_bigram": r"""
+            with toks as (
+              select doc_id, length(text) as n_chars_total,
+                     regexp_split_to_array(lower(text), '\s+') as toks
+              from documents
+              where len(regexp_split_to_array(text, '\s+')) >= 2
+            ), bg as (
+              select doc_id, n_chars_total,
+                     toks[g.i] || ' ' || toks[g.i + 1] as bigram
+              from toks, unnest(generate_series(1, len(toks) - 1)) as g(i)
+            ), counts as (
+              select doc_id, n_chars_total, bigram, count(*)::bigint as cnt
+              from bg group by 1, 2, 3
+            ), ranked as (
+              select *, row_number() over (partition by doc_id
+                                           order by cnt desc, bigram desc) as rn
+              from counts
+            )
+            select doc_id, bigram as top_bigram, cnt as top_bigram_count,
+                   round(cnt * length(bigram) * 1.0 / greatest(n_chars_total, 1), 6)
+                     as top_bigram_char_frac
+            from ranked where rn = 1""",
+        "type_token_ratio": r"""
+            select doc_id,
+                   round(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) * 1.0
+                         / greatest(len(regexp_split_to_array(text, '\s+')), 1), 6)
+                     as type_token_ratio
+            from documents""",
+        "token_quantiles": r"""
+            select lang,
+                   round(quantile_cont(nt, 0.5), 6) as p50,
+                   round(quantile_cont(nt, 0.9), 6) as p90,
+                   round(quantile_cont(nt, 0.99), 6) as p99
+            from (select lang, len(regexp_split_to_array(text, '\s+')) as nt
+                  from documents)
+            group by 1""",
         "token_count": """
             select lang, count(*) as n_docs,
                    sum(len(regexp_split_to_array(text, '\\s+')))::bigint as total_tokens,

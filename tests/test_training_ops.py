@@ -397,3 +397,48 @@ def test_stratified_cap_bounds_each_group(spark):
     # a group smaller than the cap passes through whole
     small = stratified_cap(d.where("doc_id < 5"), ["grp"], "doc_id", 40)
     assert small.count() == 5
+
+
+def test_top_bigram_repetition_signal(spark):
+    from tor_spider_spark.functions.text import top_bigram_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),  # one bigram repeated 4×
+            (1, "all words here are different tokens"),
+            (2, "solo"),  # <2 tokens — dropped, no bigram exists
+            (3, "b a b a c c"),  # tie at cnt=2: "a b" vs "b a" → "b a" wins
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in top_bigram_stats(d).collect()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0]["top_bigram"] == "spam spam" and rows[0]["top_bigram_count"] == 4
+    # 4 occurrences × 9 chars / 24 chars
+    assert rows[0]["top_bigram_char_frac"] == round(4 * 9 / 24, 6)
+    assert rows[1]["top_bigram_count"] == 1
+    # deterministic tie-break: highest count, then lexicographically
+    # greatest bigram — invariant under partitioning
+    assert rows[3]["top_bigram"] == "b a" and rows[3]["top_bigram_count"] == 2
+    again = {r["doc_id"]: r for r in top_bigram_stats(d.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_type_token_ratio_bounds(spark):
+    from tor_spider_spark.functions.text import type_token_ratio_col
+
+    d = spark.createDataFrame(
+        [(0, "a a a a"), (1, "w x y z"), (2, "A a B b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["ttr"]
+        for r in d.select(
+            "doc_id", F.round(type_token_ratio_col(F.col("text")), 6).alias("ttr")
+        ).collect()
+    }
+    assert rows[0] == 0.25  # pure repetition
+    assert rows[1] == 1.0  # all distinct
+    assert rows[2] == 0.5  # case-folded before counting

@@ -63,6 +63,67 @@ def quality_ok_col(text: Column) -> Column:
     )
 
 
+def type_token_ratio_col(text: Column) -> Column:
+    """distinct tokens / total tokens (case-folded) — the classic lexical-
+    diversity repetition signal (low TTR = boilerplate / generated spam).
+    Pure Catalyst: array_distinct over the whitespace split, no shuffle."""
+    toks = tokens_col(F.lower(text))
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(0.0)
+
+
+def top_bigram_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signal: per document, the most frequent word
+    2-gram and the fraction of the document's characters it accounts for
+    (count × len(bigram) / len(text); overlapping occurrences counted —
+    frozen spec, mirrored by the DuckDB oracle).  Docs with <2 tokens are
+    dropped (no bigram exists).
+
+    Scale shape: tokens come from one Catalyst zip_with over the split
+    array (no UDF), then ONE shuffle keyed on (doc_id, bigram) for the
+    count and a map-side max(struct) per doc — group keys are
+    doc-scoped so cardinality ∝ corpus tokens and no key is hotter
+    than the longest single document.  Tie-break is deterministic
+    (highest count, then lexicographically greatest bigram) so the
+    result hash-replays at any parallelism."""
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    d = (
+        docs.select(
+            id_col,
+            F.length(text_col).alias("_n_chars"),
+            toks.alias("_toks"),
+        )
+        .where(F.size("_toks") >= 2)
+    )
+    bg = d.select(
+        id_col,
+        "_n_chars",
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", F.lit(1), F.size("_toks") - 1),
+                F.slice("_toks", F.lit(2), F.size("_toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy(id_col, "_n_chars", "bigram").agg(F.count("*").alias("cnt"))
+    top = counts.groupBy(id_col, "_n_chars").agg(
+        F.max(F.struct("cnt", "bigram")).alias("_top")
+    )
+    return top.select(
+        id_col,
+        F.col("_top.bigram").alias("top_bigram"),
+        F.col("_top.cnt").cast("long").alias("top_bigram_count"),
+        F.round(
+            F.col("_top.cnt")
+            * F.length("_top.bigram")
+            / F.greatest(F.col("_n_chars"), F.lit(1)),
+            6,
+        ).alias("top_bigram_char_frac"),
+    )
+
+
 def lang_id_col(text: Column) -> Column:
     """Heuristic language ID: CJK codepoint share → zh; else the marker-word
     set with the highest hit count; ties broken by a fixed language order
