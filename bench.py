@@ -423,6 +423,9 @@ _BENCH_QUERIES = [
     "text_quality",
     "token_count",
     "bpe_token_count",
+    "repetition_top_bigram",
+    "type_token_ratio",
+    "token_quantiles",
     "extract_links",
 ]
 
