@@ -53,6 +53,10 @@ def run_leg(root: str) -> dict:
 
 def main() -> None:
     r1_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r1-engine"
+    # each comparison gets its OWN artifact: the default clobbered the
+    # historical r1-vs-r3 file when the r4-vs-r5 comparison reused the
+    # harness (restored from git; see BENCH/crawl_engine_ab_r4r5.json)
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "crawl_engine_ab.json"
     passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3"))
     legs = {"r1_engine": r1_root, "current": REPO}
     walls: dict[str, list] = {k: [] for k in legs}
@@ -79,7 +83,7 @@ def main() -> None:
     result["engine_wall_ratio_min"] = round(
         result["legs"]["current"]["min_wall_sec"] / result["legs"]["r1_engine"]["min_wall_sec"], 3
     )
-    with open(os.path.join(REPO, "BENCH", "crawl_engine_ab.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
