@@ -197,6 +197,21 @@ shipped table stays the best COHERENT roll under the stated
 max-over-passes rule, with every other roll disclosed here as the error
 bar (2026-08-18 raw numbers: BENCH/scaling_roll_20260818.json).
 
+The executor-JVM pair was then measured FOUR more times in tight
+interleave (BENCH/lc_pair_roll.py — calibration and engine legs of both
+levels inside each ~5-minute window; raw numbers in
+BENCH/lc_pair_roll.json): normalized efficiency per window 1.81 / 0.64 /
+0.16 / 0.83 (median 0.83). The spread is not the engine: the pure-CPU
+CEILING itself read 0.09, 0.48, 1.25 and 0.22 across those windows —
+in one window 4 JVMs were granted MORE than 4× one JVM's CPU, in
+another barely a third of it — while the engine's raw lc-1x8 leg stayed
+within 368–392k urls/s. Conclusion, stated plainly: this shared box
+cannot evidence the 1→4-executor-JVM criterion to better than ±3×; the
+evidence that carries the ≥0.8 rule is the stable thread-mode pairs
+(normalized 0.79–1.09 across every coherent roll), the shuffle-audited
+plan shapes (docs/PLANS.md), and the engine tracking whatever grant the
+box actually gives.
+
 The plan shape is built for the real thing: one exchange for the whole
 politeness prefix, no single-partition stage anywhere, bucket-aligned
 anti-join keys, AQE skew splitting (docs/PLANS.md shows the audited
