@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from tor_spider_spark.operators.dedup import (
         exact_dedup_groups,
+        incremental_dedup,
         minhash_lsh_dedup_pairs,
         ngram_jaccard_pairs,
         simhash_dup_pairs,
@@ -397,6 +398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data pipeline ops --------------------------------------
     def dedup_exact(spark, sf):
         return exact_dedup_groups(_t(spark, sf, "documents").select("doc_id", "text"))
+
+    def dedup_incremental(spark, sf):
+        # cross-snapshot dedup: the per-ingest increment case (batch =
+        # doc_id%5==0 as the deterministic "new arrivals", corpus = the
+        # rest); only the batch is hashed+grouped, corpus side anti-joined
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        return incremental_dedup(
+            d.where(F.col("doc_id") % 5 == 0), d.where(F.col("doc_id") % 5 != 0)
+        )
 
     def dedup_ngram_jaccard(spark, sf):
         return ngram_jaccard_pairs(_t(spark, sf, "documents").select("doc_id", "text"), 0.8)
@@ -733,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": extract_links,
         "approx_distinct": approx_distinct,
         "dedup_exact": dedup_exact,
+        "dedup_incremental": dedup_incremental,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -1076,6 +1087,16 @@ def oracle_sql() -> dict[str, str]:
             select md5(text) as content_hash, count(*) as n_dups,
                    min(doc_id) as keeper_doc_id
             from documents group by 1""",
+        "dedup_incremental": """
+            with corpus_h as (select distinct md5(text) as content_hash
+                              from documents where doc_id % 5 <> 0),
+                 batch as (select doc_id, md5(text) as content_hash
+                           from documents where doc_id % 5 = 0)
+            select min(doc_id) as doc_id
+            from batch b
+            where not exists (select 1 from corpus_h c
+                              where c.content_hash = b.content_hash)
+            group by b.content_hash""",
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
         "decontaminate_bench": """

@@ -411,6 +411,7 @@ _BENCH_QUERIES = [
     "distinct_count",
     "tumbling_window",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -442,3 +442,29 @@ def test_type_token_ratio_bounds(spark):
     assert rows[0] == 0.25  # pure repetition
     assert rows[1] == 1.0  # all distinct
     assert rows[2] == 0.5  # case-folded before counting
+
+
+def test_incremental_dedup_semantics(spark):
+    from tor_spider_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "already known text"), (1, "other corpus text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already known text"),  # dup of corpus -> dropped
+            (11, "brand new text"),      # fresh -> kept
+            (12, "brand new text"),      # within-batch dup -> min id wins
+            (13, "another new text"),    # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    assert kept == {11, 13}
+    # deterministic under re-partitioning
+    again = {
+        r["doc_id"]
+        for r in incremental_dedup(batch.repartition(5), corpus.repartition(3)).collect()
+    }
+    assert again == kept

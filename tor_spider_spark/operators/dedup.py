@@ -52,6 +52,30 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Cross-snapshot exact dedup: the (doc_id) rows of *batch* worth
+    adding to an existing *corpus* — content (md5(text)) not already in
+    the corpus AND first (min doc_id) within the batch.  This is the
+    dedup a pipeline runs per ingest increment, where re-hashing the
+    whole corpus per batch is not an option: only the batch is hashed
+    and grouped; the corpus side is a distinct hash column.
+
+    Scale shape: one shuffle of |batch| hashes (group → min id), one
+    left_anti join against the corpus hash set — the content analog of
+    the crawl's J1 seen anti-join, and like it the corpus side can sit
+    behind the bloom probe (operators/bloom.py) once |corpus| crosses
+    bloom_min_seen; at that point only probe-positive batch hashes reach
+    the exact anti-join.  No driver collect, no corpus rewrite."""
+    bh = batch.select("doc_id", F.md5("text").alias("content_hash"))
+    ch = corpus.select(F.md5("text").alias("content_hash")).distinct()
+    return (
+        bh.join(ch, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def word_trigram_shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-trigram shingles per doc. element_at is 1-based to
     match the DuckDB oracle's l[i]."""
