@@ -26,6 +26,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _td(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread to core parallelism (r6, guide §2.5): the documents/
+    embeddings fixtures are ONE small parquet file (1-2 scan partitions,
+    unsplittable below the row group), so every regex/UDF/explode-heavy
+    query over them otherwise runs its whole map side on 1-2 cores —
+    measured 5.1 s for text_quality at sf1.0 on local[32].  No-op when
+    the input already has enough partitions (the 100 TB case)."""
+    from tor_spider_spark.partitioning import spread_input
+
+    return spread_input(_t(spark, sf_dir, name))
+
+
 def _materialize_and_clean(spark: SparkSession, df: DataFrame, tmp_root: str) -> DataFrame:
     """Collect a temp-table-backed result and delete its backing files —
     the claim/upsert contract queries snapshot a table copy into a temp
@@ -244,14 +256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def filter_rlike(spark, sf):  # F1/F2: regex admission filters
         return (
-            _t(spark, sf, "documents")
+            _td(spark, sf, "documents")
             .where(F.col("text").rlike("spark.*join|join.*spark"))
             .select("doc_id", "lang")
         )
 
     def explode_array(spark, sf):  # C2: out_links explode shape
         return (
-            _t(spark, sf, "embeddings")
+            _td(spark, sf, "embeddings")
             .select("label", F.explode("embedding").alias("v"))
             .groupBy("label")
             .agg(F.count("*").alias("n_values"), F.round(F.avg("v"), 4).alias("avg_v"))
@@ -347,14 +359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def hash64(spark, sf):  # C5: url_hash (no SQL oracle — Spark-specific hash)
-        return _t(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
+        return _td(spark, sf, "documents").select("doc_id", F.xxhash64("text").alias("h"))
 
     def hash64_md5(spark, sf):  # C5 oracle-able variant (VERDICT r2 #7):
         # the md5-derived 60-bit hash is reproducible in DuckDB, like the
         # dedup_simhash token hash; production stays xxhash64 (hash64)
         from tor_spider_spark.operators.dedup import md5_60bit_hash
 
-        return _t(spark, sf, "documents").select(
+        return _td(spark, sf, "documents").select(
             "doc_id", md5_60bit_hash(F.col("text")).alias("h")
         )
 
@@ -378,7 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unescape, proving this is a parse, not a regex scrape)
         from tor_spider_spark.functions.html import extract_links as _xl
 
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         html = F.concat(
             F.lit('<html><body><a href="/doc/'),
             F.col("doc_id").cast("string"),
@@ -533,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_ann_topk(e, e.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16)
 
     def text_quality(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select(
             "doc_id",
             n_tokens_col(F.col("text")).cast("long").alias("n_tokens"),
@@ -543,7 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def token_count(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return (
             d.select("lang", n_tokens_col(F.col("text")).alias("nt"))
             .groupBy("lang")
@@ -562,7 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def type_token_ratio(spark, sf):
         # lexical diversity (distinct/total tokens) — pure Catalyst
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select(
             "doc_id",
             F.round(type_token_ratio_col(F.col("text")), 6).alias("type_token_ratio"),
@@ -574,7 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `percentile_approx` (sketch-mergeable, no full sort) — this exact
         # variant is its oracle-able twin, same pattern as approx_distinct/
         # distinct_count
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         nt = d.select("lang", n_tokens_col(F.col("text")).alias("nt"))
         return nt.groupBy("lang").agg(
             F.round(F.percentile("nt", F.lit(0.5)), 6).alias("p50"),
@@ -587,7 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without lookahead so Java regex and DuckDB RE2 agree) — the
         # "token counting" a training-data pipeline budgets by; native
         # regexp_extract_all, no UDF
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select(
             "doc_id",
             F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
@@ -611,11 +623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def lang_id(spark, sf):  # marker-count heuristic; oracle below replays it in SQL
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
 
     def doc_fingerprint(spark, sf):  # winnowing — no SQL oracle; pytest-checked
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select(
             "doc_id",
             F.size(winnow_fingerprints(F.col("text"))).alias("n_fingerprints"),
@@ -627,7 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay); production fingerprinting stays on the polynomial hash
         from tor_spider_spark.functions.text import winnow_fingerprints_md5
 
-        d = _t(spark, sf, "documents")
+        d = _td(spark, sf, "documents")
         return d.select(
             "doc_id", F.explode(winnow_fingerprints_md5(F.col("text"))).alias("fp")
         )

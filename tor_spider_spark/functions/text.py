@@ -40,10 +40,22 @@ def n_tokens_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# the frozen oracle punct class [!-/:-@\[-`{-~] enumerated: ASCII 0x21-0x2F,
+# 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E — all 32 ASCII punctuation characters
+_PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
 def punct_ratio_col(text: Column) -> Column:
-    """len(punct chars)/len(text); punct class frozen to match the oracle."""
-    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
-    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
+    """len(punct chars)/len(text); punct class frozen to match the oracle.
+
+    r6: counted as length(text) − length(translate(text, punct, '')) —
+    a single char-map scan.  The r5 form length(regexp_replace(text,
+    '[^punct]', '')) pays one regex match + StringBuffer append PER
+    NON-PUNCT CHARACTER (measured 2.7 s alone over sf1.0 on local[32],
+    ~86 CPU-s for 15 MB of text); the char counts, and therefore every
+    downstream ratio, are identical."""
+    n_punct = F.length(text) - F.length(F.translate(text, _PUNCT_CHARS, ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(0.0)
 
 
 def stopword_ratio_col(text: Column) -> Column:
@@ -80,44 +92,62 @@ def top_bigram_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     frozen spec, mirrored by the DuckDB oracle).  Docs with <2 tokens are
     dropped (no bigram exists).
 
-    Scale shape: tokens come from one Catalyst zip_with over the split
-    array (no UDF), then ONE shuffle keyed on (doc_id, bigram) for the
-    count and a map-side max(struct) per doc — group keys are
-    doc-scoped so cardinality ∝ corpus tokens and no key is hotter
-    than the longest single document.  Tie-break is deterministic
-    (highest count, then lexicographically greatest bigram) so the
-    result hash-replays at any parallelism."""
+    Scale shape (r6 rewrite): the whole signal is DOC-LOCAL, so it needs
+    no shuffle at all — the r5 shape exploded one row per token and paid
+    two exchanges plus two SortAggregates (max over a struct is not
+    hash-aggregable).  Now the bigram array (one Catalyst zip_with over
+    the split) is array_sort'ed and scanned once with a single
+    ``aggregate`` higher-order function: runs of equal bigrams in the
+    sorted array are counted in-line, keeping the best (count,
+    bigram) as it goes.  In ascending order a later run's bigram is
+    strictly greater than every earlier one, so updating on
+    ``run_count >= best_count`` implements exactly the frozen tie-break
+    (highest count, then lexicographically greatest bigram).  Zero
+    exchanges, zero row explosion; input spread to core parallelism
+    since the scan side is one small file (guide §2.5)."""
+    from tor_spider_spark.partitioning import spread_input
+
     toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
     d = (
-        docs.select(
+        spread_input(docs)
+        .select(
             id_col,
             F.length(text_col).alias("_n_chars"),
             toks.alias("_toks"),
         )
         .where(F.size("_toks") >= 2)
     )
-    bg = d.select(
-        id_col,
-        "_n_chars",
-        F.explode(
-            F.zip_with(
-                F.slice("_toks", F.lit(1), F.size("_toks") - 1),
-                F.slice("_toks", F.lit(2), F.size("_toks") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram"),
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice("_toks", F.lit(1), F.size("_toks") - 1),
+            F.slice("_toks", F.lit(2), F.size("_toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     )
-    counts = bg.groupBy(id_col, "_n_chars", "bigram").agg(F.count("*").alias("cnt"))
-    top = counts.groupBy(id_col, "_n_chars").agg(
-        F.max(F.struct("cnt", "bigram")).alias("_top")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("bc"),   # best count
+        F.lit("").alias("bb"),               # best bigram
+        F.lit(0).cast("long").alias("cc"),   # current run count
+        F.lit("").alias("cb"),               # current run bigram
     )
-    return top.select(
+
+    def step(acc, x):
+        run = F.when(acc["cb"] == x, acc["cc"] + 1).otherwise(F.lit(1).cast("long"))
+        take = run >= acc["bc"]
+        return F.struct(
+            F.when(take, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(take, x).otherwise(acc["bb"]).alias("bb"),
+            run.alias("cc"),
+            x.alias("cb"),
+        )
+
+    return d.withColumn("_top", F.aggregate(bigrams, zero, step)).select(
         id_col,
-        F.col("_top.bigram").alias("top_bigram"),
-        F.col("_top.cnt").cast("long").alias("top_bigram_count"),
+        F.col("_top.bb").alias("top_bigram"),
+        F.col("_top.bc").alias("top_bigram_count"),
         F.round(
-            F.col("_top.cnt")
-            * F.length("_top.bigram")
+            F.col("_top.bc")
+            * F.length("_top.bb")
             / F.greatest(F.col("_n_chars"), F.lit(1)),
             6,
         ).alias("top_bigram_char_frac"),
@@ -128,7 +158,10 @@ def lang_id_col(text: Column) -> Column:
     """Heuristic language ID: CJK codepoint share → zh; else the marker-word
     set with the highest hit count; ties broken by a fixed language order
     (deterministic). Pure Catalyst expressions — no UDF."""
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    # regexp_count scans once and only matches the (rare) CJK chars; the
+    # r5 regexp_replace('[^一-鿿]','') rebuilt the whole string to count
+    # them (same per-non-match cost as the punct_ratio_col pathology)
+    cjk = F.regexp_count(text, F.lit(r"[一-鿿]"))
     toks = tokens_col(F.lower(text))
     def _marker_count(markers: tuple[str, ...]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))

@@ -28,8 +28,10 @@ shingle join of `ngram_jaccard` is the one to avoid — that is exactly why
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from tor_spider_spark.partitioning import spread_input
 
 # Mersenne prime 2^31-1: (a*h + b) stays within int64 for a,b,h < p
 _MH_P = (1 << 31) - 1
@@ -78,8 +80,15 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
 
 def word_trigram_shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-trigram shingles per doc. element_at is 1-based to
-    match the DuckDB oracle's l[i]."""
-    toks = docs.select("doc_id", F.split("text", r"\s+").alias("l")).where(F.size("l") >= 3)
+    match the DuckDB oracle's l[i].  Input is spread to core parallelism
+    first (r6, guide §2.5): the docs table is typically one small parquet
+    file whose 1-2 scan partitions would otherwise serialize the ~50x
+    shingle explosion and everything downstream of it."""
+    toks = (
+        spread_input(docs)
+        .select("doc_id", F.split("text", r"\s+").alias("l"))
+        .where(F.size("l") >= 3)
+    )
     return (
         toks.select(
             "doc_id",
@@ -100,36 +109,131 @@ def word_trigram_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """All pairs (i < j) with word-trigram Jaccard ≥ threshold (exact)."""
-    sh = word_trigram_shingles(docs).localCheckpoint()
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count("*").alias("c"))
+def word_trigram_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): xxhash64 of each distinct word-trigram shingle — the
+    16-byte join/aggregation currency of the dedup family (r6, guide
+    §2.3 "shuffle keys instead of payloads"): every downstream join and
+    set operation works on the hash, never the ~30-byte shingle string.
+    A hash collision between two DISTINCT shingles in compared documents
+    could inflate one intersection count by 1; at 2^-64 per shingle pair
+    (~2e-11 across the whole sf1.0 universe of 28k distinct shingles)
+    this is the same negligible-collision contract xxhash64 already
+    carries for url_hash (C5) and the MinHash signatures."""
+    return word_trigram_shingles(docs).select("doc_id", F.xxhash64("sh").alias("h"))
+
+
+def _doc_shingle_arrays(hashes: DataFrame) -> DataFrame:
+    """(doc_id, hs: sorted array<long>, n): each document's full shingle-
+    hash set as one row — the verification currency: set intersections
+    become a per-row native array_intersect instead of a second shingle-
+    level join (one shuffle of |shingle| rows, then doc-local)."""
+    return hashes.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"), F.count("*").alias("n")
     )
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    arrays: DataFrame,
+    threshold: float,
+    broadcast_max_rows: int = 200_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (i, j): join each
+    side's shingle-hash array on and compute c = |hs_i ∩ hs_j| with
+    native array_intersect — no per-shingle join, no row explosion.
+    When the arrays table is small (≤ *broadcast_max_rows* docs, ~90 MB
+    at 52 shingles/doc) both attach joins broadcast, so the candidate
+    set never shuffles at all; above that the joins fall back to the
+    planner's shuffle strategy (the 100 TB setting)."""
+    ai = arrays.select(
+        F.col("doc_id").alias("i"), F.col("hs").alias("hi"), F.col("n").alias("ni")
+    )
+    aj = arrays.select(
+        F.col("doc_id").alias("j"), F.col("hs").alias("hj"), F.col("n").alias("nj")
+    )
+    if n_docs is not None and n_docs <= broadcast_max_rows:
+        ai, aj = F.broadcast(ai), F.broadcast(aj)
+    c = F.size(F.array_intersect("hi", "hj"))
     return (
-        inter.join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
-        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+        cand.join(ai, "i")
+        .join(aj, "j")
+        .withColumn("c", c)
         .withColumn("jac", F.round(F.col("c") / (F.col("ni") + F.col("nj") - F.col("c")), 6))
         .where(F.col("jac") >= threshold)
         .select("i", "j", "jac")
     )
 
 
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (i < j) with word-trigram Jaccard ≥ threshold (exact).
+
+    r6 rewrite (guide §2.3/§3.2 — decide with small rows): the naive
+    shingle self-join + pair count materializes one row per shared
+    shingle per pair — measured 256M joined rows at sf1.0 (114M distinct
+    pairs, 97% of them sharing ONE shingle where ≥ t·max(n_i,n_j) ≈ 40
+    are needed to pass).  Instead, PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Bayardo et al. "Scaling Up All Pairs", public algorithms):
+    order each doc's shingles by ascending global document frequency
+    (rarest first; ties by hash) and keep only the first
+    n − ⌈t·n⌉ + 1 as its *prefix*.  Any pair with J ≥ t must share a
+    shingle lying in BOTH prefixes (standard prefix-filter theorem — the
+    globally smallest common shingle does), so the equi-join runs on the
+    ~(1−t)·n prefix rows only, plus a length filter (J ≥ t ⇒
+    t·n_j ≤ n_i ≤ n_j/t).  Candidates are then verified exactly via
+    per-row array_intersect on the full hash sets.  Measured at sf1.0:
+    19M candidate occurrences instead of 256M joined rows, 239 s → see
+    OPTIMIZATION_r06.md.  ⌈t·n⌉ is computed as ceil(t·n − 1e-9) so float
+    representation of t can only LENGTHEN a prefix (more candidates,
+    never a miss); same epsilon discipline in the length filter."""
+    hs = word_trigram_shingle_hashes(docs).localCheckpoint()
+    arrays = _doc_shingle_arrays(hs).localCheckpoint()
+    n_docs = arrays.count()
+    freq = hs.groupBy("h").agg(F.count("*").alias("k"))
+    w_rank = Window.partitionBy("doc_id").orderBy("k", "h")
+    w_doc = Window.partitionBy("doc_id")
+    prefix_len = F.col("n") - F.ceil(F.col("n") * threshold - 1e-9) + 1
+    pre = (
+        hs.join(freq, "h")
+        .withColumn("n", F.count("*").over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "n", "h")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") + F.lit(1e-9) >= F.col("b.n") * threshold)
+            & (F.col("b.n") + F.lit(1e-9) >= F.col("a.n") * threshold),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+    )
+    # candidate occurrences are NOT distinct'd here: a pair surfaces once
+    # per shared prefix shingle (measured 1.03 occurrences/pair at sf1.0),
+    # so deduping the verified survivors (tiny) is far cheaper than one
+    # more full exchange of the candidate set before verification
+    return _jaccard_verify(cand, arrays, threshold, n_docs=n_docs).distinct()
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """64-permutation MinHash over word-trigram shingles, computed in a
     single groupBy pass (64 min-aggregates over one shuffle)."""
-    sh = word_trigram_shingles(docs).withColumn(
-        "h", F.pmod(F.xxhash64("sh"), F.lit(_MH_P))
-    )
+    return _minhash_signatures_from_hashes(word_trigram_shingle_hashes(docs))
+
+
+def _minhash_signatures_from_hashes(hashes: DataFrame) -> DataFrame:
+    """Signature pass over a precomputed (doc_id, h) shingle-hash table —
+    lets minhash_lsh_dedup_pairs shingle the corpus ONCE and share the
+    result between the signature and verification stages (r6; the r5
+    shape tokenized+shingled the corpus twice)."""
+    sh = hashes.withColumn("hm", F.pmod(F.col("h"), F.lit(_MH_P)))
     aggs = []
     for i in range(_N_PERM):
         a, b = _mh_params(i)
-        aggs.append(F.min(F.pmod(F.col("h") * a + b, F.lit(_MH_P))).alias(f"m{i}"))
+        aggs.append(F.min(F.pmod(F.col("hm") * a + b, F.lit(_MH_P))).alias(f"m{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"m{i}" for i in range(_N_PERM)]).alias("sig"))
 
@@ -173,26 +277,16 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     Output is the TRUE pair set at the threshold as long as LSH recall
     holds (16 bands × 4 rows ⇒ miss prob (1-j⁴)^16 < 2e-4 at j=0.8);
     verification guarantees no false positives ever.
-    """
-    cand = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
-    sh = word_trigram_shingles(docs).localCheckpoint()
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # join candidate pairs to both shingle sets; count shared shingles
-    si = sh.select(F.col("doc_id").alias("i"), F.col("sh").alias("shi"))
-    sj = sh.select(F.col("doc_id").alias("cj"), F.col("sh").alias("shj"))
-    inter = (
-        cand.join(si, "i")
-        .join(sj, (F.col("j") == F.col("cj")) & (F.col("shi") == F.col("shj")))
-        .groupBy("i", "j")
-        .agg(F.count("*").alias("c"))
-    )
-    return (
-        inter.join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
-        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
-        .withColumn("jac", F.round(F.col("c") / (F.col("ni") + F.col("nj") - F.col("c")), 6))
-        .where(F.col("jac") >= threshold)
-        .select("i", "j", "jac")
-    )
+
+    r6: the corpus is shingled ONCE (shared hash table feeds both the
+    signature pass and verification), and verification is a per-row
+    array_intersect over the doc hash-set arrays instead of a second
+    per-shingle join — see _jaccard_verify."""
+    hs = word_trigram_shingle_hashes(docs).localCheckpoint()
+    arrays = _doc_shingle_arrays(hs).localCheckpoint()
+    n_docs = arrays.count()
+    cand = lsh_candidate_pairs(_minhash_signatures_from_hashes(hs))
+    return _jaccard_verify(cand, arrays, threshold, n_docs=n_docs)
 
 
 def md5_60bit_hash(col):
@@ -341,8 +435,10 @@ def simhash_signatures(docs: DataFrame, token_hash=None) -> DataFrame:
     per bit j, sum(±1) over token hashes; bit set iff sum > 0.
     *token_hash*: column fn token -> int64 (default native xxhash64)."""
     hash_fn = token_hash if token_hash is not None else F.xxhash64
-    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).withColumn(
-        "h", hash_fn(F.col("t"))
+    toks = (
+        spread_input(docs)
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+        .withColumn("h", hash_fn(F.col("t")))
     )
     sums = toks.groupBy("doc_id").agg(
         *[

@@ -58,13 +58,30 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).
-    Deterministic tiebreak: cosine DESC, neighbor id ASC."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    Deterministic tiebreak: cosine DESC, neighbor id ASC.
+
+    r6: each side's norm is computed ONCE per row before the cross join
+    instead of once per PAIR inside it (same float ops in the same order
+    per value — sqrt(dot(v,v)) — so every cosine is bit-identical; the
+    per-pair work drops from three 64-element array aggregates to one),
+    and the corpus side is spread to core parallelism (the nested-loop
+    stream side otherwise runs at the scan's 1-2 file partitions)."""
+    from tor_spider_spark.partitioning import spread_input
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = spread_input(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -176,7 +193,16 @@ def make_bucket_udf(dim: int, n_tables: int = 8, bits: int = 8, seed: int = 42):
 
 
 def _normalized(df: DataFrame, idname: str, id_col: str, vec_col: str) -> DataFrame:
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col)))
+    # norm computed once per ROW (r6): the in-lambda form re-evaluated the
+    # 64-element norm aggregate once per ELEMENT (64x).  zip_with against
+    # array_repeat(norm, size) keeps the norm OUTSIDE the lambda (lambda
+    # bodies are interpreted per element; function arguments are not), so
+    # the optimizer cannot inline it back in.  Same float ops on the same
+    # values — results bit-identical.
+    vec = F.col(vec_col)
+    v = F.zip_with(
+        vec, F.array_repeat(_norm(vec), F.size(vec)), lambda x, n: x.cast("double") / n
+    )
     return df.select(F.col(id_col).alias(idname), v.alias("_nv"))
 
 
