@@ -88,7 +88,12 @@ def test_connected_components_deep_chain_converges(spark):
     chain = [(j, i) for i, j in chain[::2]] + chain[1::2]  # mix directions
     extra = [(500, 501), (600, 601), (601, 602)]
     pairs = spark.createDataFrame(chain + extra, "i long, j long")
-    cc = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    # local_max_edges=0 pins the ITERATIVE path — this test exists to prove
+    # pointer-jump convergence, which the r6 small-graph dispatch would skip
+    cc = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs, local_max_edges=0).collect()
+    }
     assert all(cc[n] == 100 for n in range(100, 151))
     assert cc[500] == cc[501] == 500
     assert cc[600] == cc[601] == cc[602] == 600
@@ -105,7 +110,9 @@ def test_connected_components_raises_instead_of_wrong_labels(spark):
     chain = [(i, i + 1) for i in range(0, 40)]
     pairs = spark.createDataFrame(chain, "i long, j long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        # iterative path forced: the r6 single-task dispatch would solve
+        # this exactly and never hit the max_iter guard being tested
+        connected_components(pairs, max_iter=2, local_max_edges=0)
 
 
 def test_simhash_agrees_with_pure_python(spark):
@@ -468,3 +475,25 @@ def test_incremental_dedup_semantics(spark):
         for r in incremental_dedup(batch.repartition(5), corpus.repartition(3)).collect()
     }
     assert again == kept
+
+
+def test_connected_components_local_equals_iterative(spark):
+    """r6: the single-task union-find dispatch must produce byte-identical
+    labels to the iterative pointer-jump path on an irregular graph
+    (chains, a clique, singles, mixed edge directions)."""
+    import random
+
+    from tor_spider_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30)]                  # chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]  # clique
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    edges = [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    local = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    iterative = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs, local_max_edges=0).collect()
+    }
+    assert local == iterative and len(local) > 0
