@@ -57,8 +57,13 @@ def main() -> None:
     # historical r1-vs-r3 file when the r4-vs-r5 comparison reused the
     # harness (restored from git; see BENCH/crawl_engine_ab_r4r5.json)
     out_name = sys.argv[2] if len(sys.argv) > 2 else "crawl_engine_ab.json"
+    # baseline leg LABEL as a third arg (ADVICE r5 #2): the shipped
+    # crawl_engine_ab_r4r5.json keys its baseline leg "r4_engine", which a
+    # rerun with the hardcoded "r1_engine" label could not reproduce (and
+    # scaling.py reads eng45['legs']['r4_engine'] by that name)
+    base_label = sys.argv[3] if len(sys.argv) > 3 else "r1_engine"
     passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3"))
-    legs = {"r1_engine": r1_root, "current": REPO}
+    legs = {base_label: r1_root, "current": REPO}
     walls: dict[str, list] = {k: [] for k in legs}
     stats: dict[str, dict] = {}
     for p in range(passes):

@@ -20,6 +20,7 @@ Writes BENCH/lc_pair_roll.json. Run:
 from __future__ import annotations
 
 import json
+import statistics
 import os
 import sys
 
@@ -70,7 +71,7 @@ def main() -> None:
         ),
         "core_rows": rows,
         "windows": out,
-        "normalized_median": norm[len(norm) // 2],
+        "normalized_median": round(statistics.median(norm), 3),
         "normalized_min": norm[0],
         "normalized_max": norm[-1],
     }

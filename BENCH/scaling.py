@@ -201,7 +201,7 @@ The executor-JVM pair was then measured FOUR more times in tight
 interleave (BENCH/lc_pair_roll.py — calibration and engine legs of both
 levels inside each ~5-minute window; raw numbers in
 BENCH/lc_pair_roll.json): normalized efficiency per window 1.81 / 0.64 /
-0.16 / 0.83 (median 0.83). The spread is not the engine: the pure-CPU
+0.16 / 0.83 (median 0.73). The spread is not the engine: the pure-CPU
 CEILING itself read 0.09, 0.48, 1.25 and 0.22 across those windows —
 in one window 4 JVMs were granted MORE than 4× one JVM's CPU, in
 another barely a third of it — while the engine's raw lc-1x8 leg stayed
@@ -233,15 +233,22 @@ bench_bloom_scale`, 2026-08-16):
 | 20,000,000 | 438,565 | 445,025 | 1.02x |
 | 40,000,000 | 248,429-299,388 | 335,865-348,221 | **1.12-1.40x** |
 
-Bloom wall time is ~flat in seen (probe cost ∝ candidates only; the one
-seen pass is scan-only), while the exact anti-join pays a growing
-two-sided shuffle — crossover ≈ 15-20M seen on this box's RAM-backed
-shuffle, earlier on a real cluster where shuffle crosses the network.
-`CrawlConfig.bloom_min_seen = 20M` gates the probe to the regime where it
-wins; shards are still maintained every round below it (resume + the
-moment seen crosses the line). At the 10^10 target the per-round saving
-is the entire seen-side shuffle — the dominant cost at that scale. The
-per-round `bloom_scale` leg of bench.py re-measures this regime.
+r6 correction (per-round timing — probe build + apply + release inside
+the clock, the way the driver actually pays it every round): a 2x2
+interleaved sweep at 10/20/40/80M seen found NO local crossover at all
+(BENCH/bloom_crossover_r06.json — bloom 0.94/0.92/0.88/0.69x vs exact,
+partitioned probe 0.67/0.65/0.76/0.90x).  The table above and the
+"crossover ≈ 15-20M" claim were apply-only-era measurements; on this
+box's RAM-backed shuffle the exact anti-join wins at every measurable
+size, and the broadcast probe's per-round bitset collect+broadcast grows
+with seen.  `CrawlConfig.bloom_min_seen` therefore defaults to 10^9 —
+probe disengaged through the locally-measurable regime; shards are still
+maintained every round (resume + the moment seen crosses the line).  On
+a real network the exact path ships the O(seen) side every round while
+the probe ships O(candidate keys), so the crossover comes far earlier —
+measure it with bench.py bloom-only mode / BENCH/bloom_crossover.py and
+override bloom_min_seen (the design-point setting; bench.py's
+design_point leg forces the probe on with bloom_min_seen=0).
 
 r3 adds the PARTITION-ALIGNED probe (`probe_partitioned`, VERDICT r2 #2):
 above `DEFAULT_BROADCAST_MAX_BYTES` (512 MB of bitsets ≈ 4×10^8 seen) the

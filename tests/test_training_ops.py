@@ -497,3 +497,19 @@ def test_connected_components_local_equals_iterative(spark):
         for r in connected_components(pairs, local_max_edges=0).collect()
     }
     assert local == iterative and len(local) > 0
+
+
+def test_incremental_dedup_accepts_prehashed_corpus(spark):
+    """ADVICE r5 #3: a corpus already carrying content_hash must be used
+    as-is (no re-hash) and give identical output to the raw-text path."""
+    from pyspark.sql import functions as F
+
+    from tor_spider_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark)
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 1)
+    raw = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    hashed = corpus.select(F.md5("text").alias("content_hash"))
+    pre = {r["doc_id"] for r in incremental_dedup(batch, hashed).collect()}
+    assert raw == pre and len(raw) > 0

@@ -69,11 +69,26 @@ class CrawlConfig:
     # shards are still MAINTAINED every round (cheap, incremental — they
     # must exist for resume and for the moment seen crosses the line) but
     # probing is skipped and the exact anti-join runs alone.
-    # Threshold set at the measured local[32] crossover (bench.py
-    # bench_bloom_scale, 2026-08: exact wins 0.82x at 6M seen, bloom wins
-    # 1.4x at 40M; RAM-backed local shuffle flatters the exact path, so a
-    # real cluster with network shuffle crosses earlier).
-    bloom_min_seen: int = 20_000_000
+    # r6 re-derivation (VERDICT r5 next #1): under the corrected
+    # PER-ROUND timing (probe build + apply + release inside the clock —
+    # the driver rebuilds the probe every round) a 2x2 interleaved sweep
+    # at 10/20/40/80M seen found NO local crossover at all
+    # (BENCH/bloom_crossover_r06.json: bloom 0.94/0.92/0.88/0.69x vs the
+    # exact anti-join, partitioned probe 0.67/0.65/0.76/0.90x) — the
+    # RAM-backed local shuffle beats the probe at every measurable size,
+    # and the broadcast variant's per-round bitset collect+broadcast
+    # grows with seen. The old 20M gate cited an apply-only measurement
+    # the r5 timing fix invalidated. Default therefore keeps the probe
+    # disengaged through the locally-measurable regime and engages only
+    # at design-point scale (10^9+, where nothing can be measured on one
+    # box and the bytes argument dominates). NETWORK-CLUSTER OVERRIDE
+    # (the design-point setting): on real network shuffle the exact path
+    # ships O(seen) bytes every round while the probe ships O(candidate
+    # keys), so the crossover comes far earlier — set bloom_min_seen to
+    # the crossover measured on your fabric (bench.py bloom-only mode /
+    # BENCH/bloom_crossover.py is the harness), as bench.py's
+    # design_point leg does (bloom_min_seen=0).
+    bloom_min_seen: int = 1_000_000_000
     # broadcast-probe bitset cap (see bloom_knobs() for how the three
     # bloom knobs derive together); None = the module default (512 MB).
     # The probe additionally dispatches on executor TOPOLOGY at call time
@@ -130,7 +145,7 @@ class CrawlConfig:
         |---------------------|-------------------------------------|-------------------------------------|
         | n_shards            | = n_buckets (shard ≡ table bucket)  | co-located probe, no extra shuffle  |
         | m_bits/shard        | next pow2 ≥ bits_per_key·capacity/n_shards, ≥ 2^20 | undersized bloom saturates → all-"maybe" (r2) |
-        | bloom_min_seen      | exact-vs-probe crossover            | 20M at local[32]; exact 0.82x at 6M, probe 1.4x at 40M |
+        | bloom_min_seen      | exact-vs-probe crossover            | r6: NO local crossover ≤80M under per-round timing (BENCH/bloom_crossover_r06.json) ⇒ default 10^9; network clusters measure their own crossover and override |
         | broadcast_max_bytes | cap on collect+broadcast bitsets    | 512 MB single-process; probe() ÷ executor topology at call time (r5: broadcast probe HALVED at 4 real JVMs — BENCH/bloom_lc_ab.json) |
 
         At the 10^10 design point (capacity=10^10, n_buckets=4096):

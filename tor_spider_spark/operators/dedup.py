@@ -58,9 +58,15 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     """Cross-snapshot exact dedup: the (doc_id) rows of *batch* worth
     adding to an existing *corpus* — content (md5(text)) not already in
     the corpus AND first (min doc_id) within the batch.  This is the
-    dedup a pipeline runs per ingest increment, where re-hashing the
-    whole corpus per batch is not an option: only the batch is hashed
-    and grouped; the corpus side is a distinct hash column.
+    dedup a pipeline runs per ingest increment.
+
+    The per-ingest incremental cost holds only when the caller maintains
+    the corpus hash set: pass a *corpus* that already carries a
+    ``content_hash`` column (the maintained hash table of an ingest
+    pipeline — it is used as-is) and only the batch is hashed.  Passing
+    raw corpus text is supported for convenience but RE-HASHES the whole
+    corpus on every call (ADVICE r5 #3 — the earlier docstring claimed
+    the incremental cost unconditionally).
 
     Scale shape: one shuffle of |batch| hashes (group → min id), one
     left_anti join against the corpus hash set — the content analog of
@@ -69,7 +75,10 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     bloom_min_seen; at that point only probe-positive batch hashes reach
     the exact anti-join.  No driver collect, no corpus rewrite."""
     bh = batch.select("doc_id", F.md5("text").alias("content_hash"))
-    ch = corpus.select(F.md5("text").alias("content_hash")).distinct()
+    if "content_hash" in corpus.columns:
+        ch = corpus.select("content_hash").distinct()
+    else:
+        ch = corpus.select(F.md5("text").alias("content_hash")).distinct()
     return (
         bh.join(ch, "content_hash", "left_anti")
         .groupBy("content_hash")
