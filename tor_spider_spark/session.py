@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # runtime bloom join pruning as a backstop under our explicit shards
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1/§9) — skips the per-partition sort;
+        # r6 A/B at sf1.0: skew_join 2.07->1.58s, anti_join 1.09->0.84s,
+        # core scheduling leg 5.27->4.84s, no regressions (oracle rows and
+        # crawl<->simulator parity unchanged — join strategy is physical)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
