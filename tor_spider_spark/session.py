@@ -61,6 +61,17 @@ def get_spark(
         # core scheduling leg 5.27->4.84s, no regressions (oracle rows and
         # crawl<->simulator parity unchanged — join strategy is physical)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # scan split size (guide §6): the driver fixtures are single
+        # ~100 MB-scale files whose 128 MB default yields 1-2 map tasks
+        # on 32 cores; 32m splits them at row-group granularity (r6 A/B:
+        # skew_join 2.0->1.7s, q1 0.69->0.43s, crawl leg no worse). At
+        # petabyte inputs with thousands of files RAISE this (512m-1g —
+        # fewer, larger map tasks feed shuffles better, guide §2.2); env
+        # knob so a cluster submit can set it without code changes.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
